@@ -1,0 +1,244 @@
+"""Configuration system: run-level and model-level flags plus the merged Config bag.
+
+Mirrors the flag surface of the reference (`code/arguments.py:15-161`) and the
+free-form Config bag with JSON round-trip (`code/arguments.py:164-203`), without
+any torch coupling. Device/distributed setup is JAX-native (see
+`map_tpu.parallel.mesh`) instead of the reference's NCCL scaffolding
+(`code/arguments.py:58-86`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Sequence
+
+
+@dataclass
+class TrainingArguments:
+    """Run-level flags. Parity: reference `code/arguments.py:15-48`."""
+
+    output_dir: str = ""
+    dataset_name: str = "avazu"
+    data_dir: str = "data/avazu"
+    per_device_train_batch_size: int = 128   # reference: per_gpu_train_batch_size
+    per_device_eval_batch_size: int = 10000  # reference: per_gpu_eval_batch_size
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.1
+    adam_epsilon: float = 1e-8
+    adam_betas: str = "0.9,0.999"
+    max_grad_norm: float = 0.0  # 0 disables clipping (reference trainer.py:137)
+    patience: int = 2
+    num_train_epochs: int = 20
+    lr_sched: str = "cosine"   # cosine | const
+    warmup_ratio: float = 0.0
+    logging_first_step: bool = False
+    logging_steps: int = 1000
+    save_steps: int = 1000
+    save_total_limit: Optional[int] = 20
+    seed: int = 42
+
+    # Pretraining flags (reference arguments.py:41-48)
+    sampling_method: str = "normal"   # normal (per-row permutation) | randint
+    mask_ratio: float = 0.1
+    pretrain: bool = False
+    pt_type: str = "MFP"              # MFP | RFD
+    RFD_replace: str = "Unigram"      # Unigram | Uniform | Whole-Uniform | Whole-Unigram
+    finetune: bool = False
+    pretrained_model_path: Optional[str] = None
+
+    # TPU-native additions (no reference counterpart)
+    num_data_shards: int = -1    # data-parallel mesh size; -1 = all devices
+    num_model_shards: int = 1    # embedding-table row-shard count ('model' axis)
+    use_pallas: bool = True      # enable Pallas kernels on the hot paths
+    compute_dtype: str = "float32"  # float32 | bfloat16 for activations
+    table_sharding: str = "auto"  # auto | replicated | rows
+    mock_devices: int = 0        # >0: force CPU with N virtual devices (testing)
+
+    @property
+    def train_batch_size(self) -> int:
+        # Global batch = per-device batch x data-parallel size, mirroring
+        # reference arguments.py:50-52 (per_gpu_batch * n_gpu).
+        from map_tpu.parallel.mesh import data_parallel_size
+
+        return self.per_device_train_batch_size * max(1, data_parallel_size(self))
+
+    @property
+    def eval_batch_size(self) -> int:
+        from map_tpu.parallel.mesh import data_parallel_size
+
+        return self.per_device_eval_batch_size * max(1, data_parallel_size(self))
+
+    def to_json_string(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+
+@dataclass
+class ModelArguments:
+    """Per-architecture hyperparameters. Parity: reference `code/arguments.py:103-161`."""
+
+    model_name: str = "dcnv2"
+
+    embed_size: int = 32
+    embed_dropout_rate: float = 0.0
+    hidden_size: int = 128
+    num_hidden_layers: int = 1
+    hidden_act: str = "relu"
+    hidden_dropout_rate: float = 0.0
+
+    num_attn_heads: int = 1
+    attn_probs_dropout_rate: float = 0.1
+    intermediate_size: int = 128
+    norm_first: bool = False
+    layer_norm_eps: float = 1e-12
+
+    agg_type: str = "mean"
+    res_conn: bool = False
+    num_channels: int = 1
+    embed_norm: bool = False
+    prod_layer_norm: bool = False
+    prod_dropout_rate: float = 0.1
+    inter_layer_norm: bool = False
+    output_reduction: str = "sum,max,sum"
+
+    num_cross_layers: int = 1
+    share_embedding: bool = False
+    channels: str = "14,16,18,20"
+    kernel_heights: str = "7,7,7,7"
+    pooling_sizes: str = "2,2,2,2"
+    recombined_channels: str = "3,3,3,3"
+    conv_act: str = "tanh"
+    reduction_ratio: int = 3
+    bilinear_type: str = "field_interaction"
+    reuse_graph_layer: bool = False
+    attn_scale: bool = False
+    use_lr: bool = False
+    attn_size: int = 40
+    num_attn_layers: int = 2
+    cin_layer_units: str = "50,50"
+    field_interaction_type: str = "matrixed"
+    product_type: str = "inner"
+    outer_product_kernel_type: str = "mat"
+
+    # Pretraining-head hyperparameters (reference arguments.py:150-151)
+    pt_neg_num: int = 25
+    proj_size: int = 32
+
+    # Auxiliary DNN tower (reference arguments.py:154-157)
+    dnn_size: int = 1000
+    num_dnn_layers: int = 0
+    dnn_act: str = "relu"
+    dnn_drop: float = 0.0
+
+    def to_dict(self) -> Dict[str, Any]:
+        return copy.deepcopy(self.__dict__)
+
+
+class Config:
+    """Free-form attribute bag with JSON persistence.
+
+    Parity: reference `code/arguments.py:164-203`. Non-JSON values (numpy
+    arrays such as `feat_count`) are dropped on serialization.
+    """
+
+    def __init__(self, **kwargs: Any):
+        for k, v in kwargs.items():
+            setattr(self, k, v)
+
+    @classmethod
+    def from_dict(cls, config_dict: Dict[str, Any]) -> "Config":
+        return cls(**config_dict)
+
+    @classmethod
+    def load(cls, load_directory: str) -> "Config":
+        with open(os.path.join(load_directory, "config.json"), "r", encoding="utf-8") as f:
+            return cls.from_dict(json.load(f))
+
+    def save(self, save_directory: str) -> None:
+        assert os.path.isdir(save_directory), f"not a directory: {save_directory}"
+        with open(os.path.join(save_directory, "config.json"), "w", encoding="utf-8") as f:
+            f.write(self.to_json_string())
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dict(self.__dict__)
+
+    def to_json_string(self) -> str:
+        def _default(o: Any) -> Any:
+            try:
+                return o.tolist()
+            except AttributeError:
+                return str(o)
+
+        serializable = {
+            k: v for k, v in self.to_dict().items()
+            if not k.startswith("_") and k not in ("feat_count", "logprob_noise")
+        }
+        return json.dumps(serializable, indent=2, sort_keys=True, default=_default) + "\n"
+
+    def get(self, key: str, default: Any = None) -> Any:
+        return getattr(self, key, default)
+
+
+def _add_dataclass_args(parser: argparse.ArgumentParser, cls: type) -> None:
+    for f in dataclasses.fields(cls):
+        name = f"--{f.name}"
+        ftype = f.type if isinstance(f.type, type) else None
+        default = f.default if f.default is not dataclasses.MISSING else None
+        if ftype is None:
+            # typing annotations arrive as strings under `from __future__ import annotations`
+            tname = str(f.type)
+            if "bool" in tname:
+                ftype = bool
+            elif "int" in tname:
+                ftype = int
+            elif "float" in tname:
+                ftype = float
+            else:
+                ftype = str
+        if ftype is bool:
+            parser.add_argument(name, action="store_true", default=default)
+        elif f.default is dataclasses.MISSING:
+            parser.add_argument(name, type=ftype, required=True)
+        else:
+            parser.add_argument(name, type=ftype, default=default)
+
+
+def parse_args(argv: Optional[Sequence[str]] = None):
+    """Parse CLI argv into (ModelArguments, TrainingArguments).
+
+    Stands in for the reference's HfArgumentParser dispatch (`code/run.py:14-15`).
+    """
+    parser = argparse.ArgumentParser(description="map_tpu trainer")
+    _add_dataclass_args(parser, ModelArguments)
+    _add_dataclass_args(parser, TrainingArguments)
+    ns = vars(parser.parse_args(argv))
+    model_kwargs = {f.name: ns[f.name] for f in dataclasses.fields(ModelArguments)}
+    train_kwargs = {f.name: ns[f.name] for f in dataclasses.fields(TrainingArguments)}
+    return ModelArguments(**model_kwargs), TrainingArguments(**train_kwargs)
+
+
+def build_config(model_args: ModelArguments, training_args: TrainingArguments,
+                 dataset) -> Config:
+    """Assemble the merged model config from flags + data-derived values.
+
+    Parity: reference `code/run.py:49-61` — injects input_size, num_fields
+    (minus the reserved `<rsv>` field), feat_count, per-field id ranges.
+    """
+    d = model_args.to_dict()
+    d["data_dir"] = training_args.data_dir
+    d["input_size"] = len(dataset.feat_map)
+    d["num_fields"] = len(dataset.field_map) - 1  # reserved <rsv> field (run.py:52)
+    d["pretrain"] = training_args.pretrain
+    d["pt_type"] = training_args.pt_type
+    d["RFD_replace"] = training_args.RFD_replace
+    d["feat_count"] = dataset.feat_count
+    d["idx_low"] = dataset.idx_low
+    d["idx_high"] = dataset.idx_high
+    d["feat_num_per_field"] = dataset.feat_num_per_field
+    d["use_pallas"] = training_args.use_pallas
+    d["compute_dtype"] = training_args.compute_dtype
+    return Config.from_dict(d)

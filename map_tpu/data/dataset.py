@@ -1,0 +1,89 @@
+"""Dataset access layer.
+
+Parity with the reference `code/dataset.py:12-87`: loads meta json, the whole
+`.h5` into host RAM, `split.pkl` indices, materializes per-split arrays, and
+derives the pretraining statistics (unigram `feat_count`, per-field id ranges
+for RFD-Uniform). The per-field range computation intentionally runs over ALL
+rows (not just train) because validation features may be unseen in train
+(reference comment at `code/dataset.py:66-67`); it also asserts every value is
+inside its field block (`code/dataset.py:71`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from map_tpu.data import artifacts
+
+
+class CTRDataset:
+    """Loads the preprocessed CTR artifacts and exposes per-split arrays.
+
+    Attributes mirror the reference BaseDataset: `feat_map`, `field_map`,
+    `field_names`, `X[split]`, `Y[split]`, `feat_count`, `idx_low`, `idx_high`,
+    `feat_num_per_field`.
+    """
+
+    split_names = ("train", "valid", "test")
+
+    def __init__(self, args):
+        self.args = args
+        self.data_dir = args.data_dir
+        self.dataset_name = args.dataset_name
+        self.load_data()
+
+    def load_data(self) -> None:
+        self.field_names, self.feat_map, self.field_map = artifacts.read_meta(
+            self.data_dir, self.dataset_name)
+        feat_ids, labels = artifacts.read_ctr_h5(self.data_dir, self.dataset_name)
+        feat_ids = np.ascontiguousarray(feat_ids.astype(np.int32))
+        labels = np.ascontiguousarray(labels.astype(np.float32))
+
+        splits = artifacts.read_split(self.data_dir, self.split_names)
+        self.X: Dict[str, np.ndarray] = {s: feat_ids[splits[s]] for s in self.split_names}
+        self.Y: Dict[str, np.ndarray] = {s: labels[splits[s]] for s in self.split_names}
+
+        self._load_feat_count()
+        self._count_feat_per_field(feat_ids)
+
+    def _load_feat_count(self) -> None:
+        """Unigram stats for the NCE noise distribution (dataset.py:49-62)."""
+        if not getattr(self.args, "pretrain", False):
+            self.feat_count: Optional[np.ndarray] = None
+            return
+        path = artifacts.feat_count_path(self.data_dir)
+        if os.path.exists(path):
+            self.feat_count = np.load(path)
+        else:
+            self.feat_count = artifacts.compute_feat_count(
+                self.X["train"], len(self.feat_map))
+            np.save(path, self.feat_count)
+
+    def _count_feat_per_field(self, feat_ids: np.ndarray) -> None:
+        """Per-field id ranges for RFD-Uniform sampling (dataset.py:64-75)."""
+        if getattr(self.args, "pt_type", None) == "RFD" and \
+                getattr(self.args, "RFD_replace", None) == "Uniform":
+            self.idx_low = feat_ids.min(axis=0).astype(np.int32)
+            self.idx_high = (feat_ids.max(axis=0) + 1).astype(np.int32)
+            self.feat_num_per_field = self.idx_high - self.idx_low
+            # Every value must sit inside its field block (dataset.py:71).
+            in_range = (feat_ids >= self.idx_low[None, :]) & (feat_ids < self.idx_high[None, :])
+            assert in_range.all(), "feature id outside its field block"
+        else:
+            self.idx_low = None
+            self.idx_high = None
+            self.feat_num_per_field = None
+
+    @property
+    def num_fields(self) -> int:
+        return len(self.field_map) - 1  # minus the reserved <rsv> field (run.py:52)
+
+    @property
+    def input_size(self) -> int:
+        return len(self.feat_map)
+
+    def split_sizes(self) -> Dict[str, int]:
+        return {s: len(self.Y[s]) for s in self.split_names}

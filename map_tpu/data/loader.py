@@ -1,0 +1,88 @@
+"""Host-side input pipeline: fixed-shape shuffled batches for the jitted step.
+
+TPU-native replacement of the reference's torch DataLoader factory
+(`code/trainer.py:51-58`, shuffle=is_training, default collate, 0 workers).
+Differences forced by XLA's static-shape compilation model:
+
+- Every batch has the SAME shape. The final partial batch is padded up to
+  batch_size and accompanied by a {0,1} `weight` vector so losses/metrics can
+  mask padding exactly (the reference simply emits a smaller last batch).
+- For the RFD Unigram / Whole-Unigram generators, the corruption engine needs
+  random rows of the train matrix (reference gathers them on host per batch at
+  `code/trainer.py:235-236, 254-255`). The pipeline supplies them as a
+  prefetched `noise_rows` side-channel input of static shape so the jitted
+  step never touches host memory.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+class Batcher:
+    def __init__(
+        self,
+        X: np.ndarray,
+        Y: np.ndarray,
+        batch_size: int,
+        shuffle: bool,
+        seed: int = 42,
+        noise_source: Optional[np.ndarray] = None,
+        noise_rows_per_example: int = 0,
+        drop_remainder: bool = False,
+    ):
+        self.X = X
+        self.Y = Y
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.noise_source = noise_source
+        self.noise_rows_per_example = int(noise_rows_per_example)
+        self.drop_remainder = drop_remainder
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.Y)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def num_examples(self) -> int:
+        return len(self.Y)
+
+    def epoch(self, epoch: Optional[int] = None) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield fixed-shape batches for one epoch.
+
+        Batch dict keys: `input_ids` (B, F) int32; `labels` (B,) float32;
+        `weight` (B,) float32 in {0,1}; optionally `noise_rows`
+        (B * noise_rows_per_example, F) int32.
+        """
+        if epoch is None:
+            epoch = self._epoch
+            self._epoch += 1
+        n = len(self.Y)
+        bs = self.batch_size
+        rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch]))
+        order = rng.permutation(n) if self.shuffle else np.arange(n)
+
+        num_batches = len(self)
+        for b in range(num_batches):
+            idx = order[b * bs:(b + 1) * bs]
+            real = len(idx)
+            if real < bs:
+                pad = np.zeros(bs - real, dtype=idx.dtype)  # pad with row 0, weight 0
+                idx = np.concatenate([idx, pad])
+            batch = {
+                "input_ids": np.ascontiguousarray(self.X[idx], dtype=np.int32),
+                "labels": np.ascontiguousarray(self.Y[idx], dtype=np.float32),
+                "weight": (np.arange(bs) < real).astype(np.float32),
+            }
+            if self.noise_rows_per_example > 0:
+                assert self.noise_source is not None
+                k = bs * self.noise_rows_per_example
+                sample_index = rng.integers(0, len(self.noise_source), size=k)
+                batch["noise_rows"] = np.ascontiguousarray(
+                    self.noise_source[sample_index], dtype=np.int32)
+            yield batch

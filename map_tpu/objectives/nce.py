@@ -1,0 +1,114 @@
+"""NCE / sampled-softmax / full-CE losses and the sampled output decoder.
+
+The MFP loss engine. Semantics parity with the reference NCE subsystem
+(`code/nce/nce_loss.py`, `code/nce/index_linear.py`):
+
+- noise distribution: renormalized unigram with 1e-10 backoff
+  (`nce_loss.py:59-63`), lnZ "auto" norm_term = log(V) (`nce_loss.py:69-72`);
+- candidate scoring: output embedding table (V, proj) + per-class bias, bias
+  initialized to the unigram log-prior + norm_term (`index_linear.py:41-48`);
+  logits = <input, emb[idx]> + bias[idx] over [target || noises]
+  (`index_linear.py:86-106`), then both model and noise logits are shifted by
+  -norm_term (`nce_loss.py:158-173`);
+- 'nce' mode: BCE-with-logits on `logit_model - logit_noise - log k` with the
+  positive label at slot 0, summed over the 1+k candidates
+  (`nce_loss.py:201-230`);
+- 'sampled' mode: TF-style sampled softmax, CE on `logits - q_logits` with
+  class-0 target (`nce_loss.py:232-244`);
+- 'full' mode: exact CE over the whole vocabulary. (The reference's full mode
+  is broken — `noise_samples` is referenced outside the sampled branch,
+  `nce_loss.py:137-138`; we implement it correctly, SURVEY.md §5.)
+
+Noise sampling is per-position ('per_word', `nce_loss.py:74,146-156`) and runs
+on device inside the jitted step via `map_tpu.objectives.alias`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from map_tpu.nn.init import uniform_scale_init
+
+
+def bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise BCEWithLogits: max(x,0) - x*y + log(1+exp(-|x|))."""
+    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+class IndexLinearDecoder(nn.Module):
+    """Output-side embedding decoder over sampled candidate indices.
+
+    Parity: reference `code/nce/index_linear.py:29-106`. The candidate gather +
+    batched dot + bias is the fusion target of `map_tpu.ops.nce_dot`.
+    """
+
+    input_size: int
+    proj_size: int
+    config: Any  # Config bag carrying `logprob_noise` (np array) and `norm_term`
+
+    @nn.compact
+    def __call__(self, inputs: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+        """inputs (B, M, E), indices (B, M, C) -> logits (B, M, C)."""
+        stdv = 1.0 / math.sqrt(self.proj_size)
+        emb = self.param("emb", uniform_scale_init(stdv),
+                         (self.input_size, self.proj_size))
+
+        cfg = self.config
+
+        def bias_init(key, shape, dtype=jnp.float32):
+            # unigram prior + lnZ (index_linear.py:41-48)
+            return jnp.asarray(cfg.logprob_noise + cfg.norm_term, dtype=dtype)
+
+        bias = self.param("bias", bias_init, (self.input_size,))
+        rows = jnp.take(emb, indices, axis=0)            # (B, M, C, E)
+        b = jnp.take(bias, indices)                      # (B, M, C)
+        return jnp.einsum("bme,bmce->bmc", inputs, rows) + b
+
+    def full_scores(self, inputs: jnp.ndarray) -> jnp.ndarray:
+        """Exact scores over the whole vocabulary (index_linear.py:145-151)."""
+        emb = self.get_variable("params", "emb")
+        bias = self.get_variable("params", "bias")
+        return jnp.einsum("bme,ve->bmv", inputs, emb) + bias
+
+
+def nce_loss(model_logits: jnp.ndarray, noise_logprobs: jnp.ndarray,
+             norm_term: float, noise_ratio: int) -> jnp.ndarray:
+    """'nce' mode. model_logits/noise_logprobs: (B, M, 1+k); slot 0 = target.
+
+    Returns per-position loss (B, M) = sum over candidates of BCE terms
+    (nce_loss.py:215-230). model_logits are raw decoder scores; the -norm_term
+    shift (nce_loss.py:171-172) is applied here.
+    """
+    logit_model = model_logits - norm_term
+    logit_true = logit_model - noise_logprobs - math.log(noise_ratio)
+    labels = jnp.zeros_like(logit_true).at[:, :, 0].set(1.0)
+    return bce_with_logits(logit_true, labels).sum(axis=2)
+
+
+def sampled_softmax_loss(model_logits: jnp.ndarray, noise_logprobs: jnp.ndarray,
+                         norm_term: float) -> jnp.ndarray:
+    """'sampled' mode: CE on q-corrected logits, target class 0 (nce_loss.py:232-244)."""
+    logits = (model_logits - norm_term) - noise_logprobs
+    return -jax.nn.log_softmax(logits, axis=-1)[:, :, 0]
+
+
+def full_ce_loss(full_scores: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """'full' mode: exact CE over V. full_scores (B, M, V), target (B, M)."""
+    logp = jax.nn.log_softmax(full_scores, axis=-1)
+    return -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+
+
+def mfp_accuracy_count(candidate_logits: jnp.ndarray,
+                       position_weight: jnp.ndarray) -> jnp.ndarray:
+    """Count of positions where the target outranks all noises.
+
+    Parity: `(logits.argmax(dim=2) == 0).sum()` (models.py:77), restricted to
+    real (non-padding) examples via position_weight (B,).
+    """
+    hit = (jnp.argmax(candidate_logits, axis=2) == 0).astype(jnp.float32)
+    return jnp.sum(hit * position_weight[:, None])

@@ -1,0 +1,36 @@
+"""Embedding gather (forward) and scatter-add (backward) ops.
+
+The reference delegates this to torch nn.Embedding/ATen (`code/layers.py:86,98`,
+`code/nce/index_linear.py:99-100`). Here:
+
+- `embedding_lookup(table, ids)`: default XLA path (`jnp.take`), which lowers
+  to a dynamic-gather the TPU handles well for moderate vocabularies; the
+  backward pass is XLA scatter-add.
+- A Pallas double-buffered DMA gather path for large HBM-resident tables is in
+  `map_tpu.ops.pallas_embedding` (opt-in via `use_pallas`, falls back on CPU).
+- The model-axis-sharded path (row-sharded tables + psum) is in
+  `map_tpu.parallel.embedding` and wraps this op inside shard_map.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def embedding_lookup(table: jnp.ndarray, ids: jnp.ndarray,
+                     use_pallas: bool = False) -> jnp.ndarray:
+    """Gather rows: table (V, E), ids (...,) int -> (..., E)."""
+    if use_pallas:
+        from map_tpu.ops.pallas_embedding import pallas_embedding_lookup
+
+        return pallas_embedding_lookup(table, ids)
+    return jnp.take(table, ids, axis=0)
+
+
+def embedding_scatter_add(grad_out: jnp.ndarray, ids: jnp.ndarray,
+                          vocab_size: int) -> jnp.ndarray:
+    """Reference scatter-add for gradients (used in tests as the oracle)."""
+    flat_ids = ids.reshape(-1)
+    flat_grad = grad_out.reshape(-1, grad_out.shape[-1])
+    return jax.ops.segment_sum(flat_grad, flat_ids, num_segments=vocab_size)
