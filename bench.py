@@ -1,0 +1,90 @@
+"""Benchmark: DCNv2 supervised train-step throughput at the canonical config.
+
+Canonical config parity (reference `run_script/run_DCNv2_scratch.sh`): DCNv2,
+embed 16, MLP 3x1000, 3 cross layers, batch 4096, AdamW lr 1e-3 wd 0.1. Data
+is synthetic with Avazu-like geometry (24 fields, 1M-row vocabulary).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` is value / 400_000 — an engineering estimate of the reference's
+PyTorch single-GPU examples/s for this config (DataLoader-bound on a V100/T4
+class card; the reference repo publishes no numbers, BASELINE.md). The
+north-star target is vs_baseline >= 3.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_GPU_EXAMPLES_PER_SEC = 400_000.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from map_tpu import models
+    from map_tpu.config import Config, TrainingArguments
+    from map_tpu.train import train_step as ts
+    from map_tpu.train.optimizer import build_optimizer
+
+    batch_size = 4096
+    num_fields = 24
+    input_size = 1_000_000
+
+    cfg = Config(
+        model_name="dcnv2", input_size=input_size, num_fields=num_fields,
+        embed_size=16, hidden_size=1000, num_hidden_layers=3, hidden_act="relu",
+        hidden_dropout_rate=0.0, num_cross_layers=3, pretrain=False,
+        embed_norm=False, layer_norm_eps=1e-12, embed_dropout_rate=0.0,
+        use_pallas=True,
+    )
+    args = TrainingArguments(
+        output_dir="/tmp/bench", learning_rate=1e-3, weight_decay=0.1,
+        lr_sched="const", warmup_ratio=0.0, max_grad_norm=0.0,
+        per_device_train_batch_size=batch_size)
+
+    model = models.from_config(cfg)
+    tx, _ = build_optimizer(args, num_training_steps=10_000, num_warmup_steps=0)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": np.asarray(
+            rng.integers(10, input_size, (batch_size, num_fields)), np.int32),
+        "labels": rng.integers(0, 2, batch_size).astype(np.float32),
+        "weight": np.ones(batch_size, np.float32),
+    }
+    state = ts.create_train_state(model, cfg, args, tx, jax.random.PRNGKey(0), batch)
+    train_step, _ = ts.make_supervised_steps(model, cfg, args, tx,
+                                             jax.random.PRNGKey(1))
+
+    device_batch = jax.device_put(batch)
+
+    # Warmup + compile
+    for _ in range(10):
+        state, metrics = train_step(state, device_batch)
+    jax.block_until_ready(metrics["loss"])
+
+    n_steps = 100
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = train_step(state, device_batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    examples_per_sec = batch_size * n_steps / dt
+    print(json.dumps({
+        "metric": "dcnv2_train_examples_per_sec_per_chip",
+        "value": round(examples_per_sec, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(examples_per_sec / REFERENCE_GPU_EXAMPLES_PER_SEC, 3),
+    }))
+    print(f"steps/s = {n_steps / dt:.2f}, loss = {float(metrics['loss']):.4f}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Checkpoint I/O: step-named model checkpoints + shape-matched partial restore.
+
+Parity: reference `code/trainer.py:517-527` ({global_step}.model files holding
+the model state) and `code/models.py:97-112` (finetune transfer = copy every
+tensor whose name AND shape match, silently skipping the rest — this is the
+mechanism by which pretrain heads are dropped and backbone+embedding kept).
+
+Format: flax msgpack serialization of the full variables dict
+({'params': ..., optional 'batch_stats': ...}).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Dict, Tuple
+
+import numpy as np
+from flax import serialization, traverse_util
+
+logger = logging.getLogger(__name__)
+
+
+def model_checkpoint_path(model_dir: str, step: int) -> str:
+    return os.path.join(model_dir, f"{step}.model")
+
+
+def save_model(variables: Dict[str, Any], model_dir: str, step: int) -> str:
+    os.makedirs(model_dir, exist_ok=True)
+    path = model_checkpoint_path(model_dir, step)
+    # Pull to host before serializing.
+    host_vars = serialization.to_state_dict(variables)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(
+            _tree_map_np(host_vars)))
+    return path
+
+
+def load_model(model_dir: str, step: int) -> Dict[str, Any]:
+    path = model_checkpoint_path(model_dir, step)
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def load_model_file(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def _tree_map_np(tree: Any) -> Any:
+    if isinstance(tree, dict):
+        return {k: _tree_map_np(v) for k, v in tree.items()}
+    return np.asarray(tree)
+
+
+def partial_restore(variables: Dict[str, Any], target_state: Dict[str, Any]
+                    ) -> Tuple[Dict[str, Any], int, int]:
+    """Copy every tensor whose path AND shape match; keep the rest.
+
+    Returns (merged_variables, loaded_count, skipped_count). Parity with
+    load_from_target_model (models.py:97-107).
+    """
+    flat_self = traverse_util.flatten_dict(variables)
+    flat_target = traverse_util.flatten_dict(target_state)
+    loaded, skipped = 0, 0
+    for k, v in flat_target.items():
+        if k in flat_self and tuple(np.shape(flat_self[k])) == tuple(np.shape(v)):
+            flat_self[k] = np.asarray(v).astype(np.asarray(flat_self[k]).dtype) \
+                if isinstance(flat_self[k], np.ndarray) else v
+            logger.info(f"Load tensor: {'/'.join(k)}, {tuple(np.shape(v))}")
+            loaded += 1
+        else:
+            logger.info(f"Unmatched tensor in the target model: "
+                        f"{'/'.join(k)}, {tuple(np.shape(v))}")
+            skipped += 1
+    return traverse_util.unflatten_dict(flat_self), loaded, skipped

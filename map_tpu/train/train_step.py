@@ -1,0 +1,238 @@
+"""Jitted train/eval steps for the three objectives.
+
+Everything the reference does per batch on host+device
+(`code/trainer.py:118-154, 302-331, 427-455`: corruption, noise sampling,
+forward, loss, backward, clip, AdamW update, schedule step) is fused here into
+ONE jitted XLA program per objective. Static shapes throughout (mask_num and
+the candidate count are Python constants), no data-dependent control flow, and
+the RNG is an on-device threefry stream folded with the step counter.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from map_tpu.objectives import corruption
+from map_tpu.objectives.alias import alias_draw
+from map_tpu.objectives.nce import (
+    bce_with_logits,
+    mfp_accuracy_count,
+    nce_loss,
+    sampled_softmax_loss,
+)
+from map_tpu.objectives.supervised import bce_loss
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any  # {} when the model has no BatchNorm
+    opt_state: Any
+    step: jnp.ndarray  # int32 scalar
+
+
+def create_train_state(model, config, args, tx, rng, sample_batch) -> TrainState:
+    init_rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1)}
+    kwargs = {}
+    if getattr(config, "pretrain", False) and config.pt_type == "MFP":
+        b, f = sample_batch["input_ids"].shape
+        m = corruption.mask_num_of(config.num_fields, args.mask_ratio)
+        kwargs = {
+            "masked_index": jnp.zeros((b, m), jnp.int32),
+            "candidates": jnp.zeros((b, m, 1 + config.pt_neg_num), jnp.int32),
+        }
+    variables = model.init(init_rngs, jnp.asarray(sample_batch["input_ids"]),
+                           train=False, **kwargs)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = tx.init(params)
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=opt_state, step=jnp.asarray(0, jnp.int32))
+
+
+def _apply_train(model, state: TrainState, params, inputs, dropout_rng, **kwargs):
+    """Forward in train mode, threading batch_stats when present."""
+    has_bs = bool(state.batch_stats)
+    variables = {"params": params}
+    if has_bs:
+        variables["batch_stats"] = state.batch_stats
+        out, mutated = model.apply(variables, inputs, train=True,
+                                   rngs={"dropout": dropout_rng},
+                                   mutable=["batch_stats"], **kwargs)
+        return out, mutated["batch_stats"]
+    out = model.apply(variables, inputs, train=True,
+                      rngs={"dropout": dropout_rng}, **kwargs)
+    return out, {}
+
+
+def _apply_eval(model, variables, inputs, **kwargs):
+    return model.apply(variables, inputs, train=False, **kwargs)
+
+
+def _update(tx, state: TrainState, grads, new_batch_stats) -> TrainState:
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params=params, batch_stats=new_batch_stats,
+                      opt_state=opt_state, step=state.step + 1)
+
+
+# ---------------------------------------------------------------------------
+# Supervised CTR (scratch / finetune): reference trainer.py:87-161
+# ---------------------------------------------------------------------------
+
+def make_supervised_steps(model, config, args, tx, base_rng):
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        rng = jax.random.fold_in(base_rng, state.step)
+
+        def loss_fn(params):
+            logits, new_bs = _apply_train(model, state, params,
+                                          batch["input_ids"], rng)
+            loss = bce_loss(logits, batch["labels"], batch["weight"])
+            return loss, (logits, new_bs)
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = _update(tx, state, grads, new_bs)
+        probs = jax.nn.sigmoid(logits.reshape(-1))
+        metrics = {"loss": loss, "probs": probs}
+        return new_state, metrics
+
+    def eval_step(state: TrainState, batch) -> Dict[str, jnp.ndarray]:
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        logits = _apply_eval(model, variables, batch["input_ids"]).reshape(-1)
+        loss = bce_loss(logits, batch["labels"], batch["weight"])
+        return {"loss": loss, "logits": logits,
+                "probs": jax.nn.sigmoid(logits)}
+
+    return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)
+
+
+# ---------------------------------------------------------------------------
+# MFP: masked feature prediction, reference trainer.py:268-391 + nce subsystem
+# ---------------------------------------------------------------------------
+
+def make_mfp_steps(model, config, args, tx, base_rng,
+                   alias_prob, alias_alias, logprob_noise):
+    mask_num = corruption.mask_num_of(config.num_fields, args.mask_ratio)
+    k = int(config.pt_neg_num)
+    norm_term = float(config.norm_term)
+    loss_type = getattr(config, "nce_loss_type", "nce")
+    alias_prob = jnp.asarray(alias_prob)
+    alias_alias = jnp.asarray(alias_alias)
+    logprob_noise = jnp.asarray(logprob_noise, jnp.float32)
+
+    def _corrupt_and_sample(rng, batch):
+        k_mask, k_noise = jax.random.split(rng)
+        corrupted, labels, masked_index = corruption.mfp_corrupt(
+            k_mask, batch["input_ids"], mask_num, args.sampling_method)
+        b = corrupted.shape[0]
+        noise = alias_draw(k_noise, alias_prob, alias_alias, (b, mask_num, k))
+        candidates = jnp.concatenate([labels[..., None], noise], axis=-1)
+        return corrupted, masked_index, candidates
+
+    def _loss_from_logits(cand_logits, candidates, weight):
+        noise_logprobs = jnp.take(logprob_noise, candidates)
+        if loss_type == "nce":
+            per_pos = nce_loss(cand_logits, noise_logprobs, norm_term, k)
+        elif loss_type == "sampled":
+            per_pos = sampled_softmax_loss(cand_logits, noise_logprobs, norm_term)
+        else:
+            raise NotImplementedError(loss_type)
+        denom = jnp.maximum(weight.sum(), 1.0) * mask_num
+        loss = (per_pos * weight[:, None]).sum() / denom
+        return loss
+
+    def train_step(state: TrainState, batch):
+        rng = jax.random.fold_in(base_rng, state.step)
+        k_corrupt, k_drop = jax.random.split(rng)
+        corrupted, masked_index, candidates = _corrupt_and_sample(k_corrupt, batch)
+
+        def loss_fn(params):
+            cand_logits, new_bs = _apply_train(
+                model, state, params, corrupted, k_drop,
+                masked_index=masked_index, candidates=candidates)
+            loss = _loss_from_logits(cand_logits, candidates, batch["weight"])
+            return loss, (cand_logits, new_bs)
+
+        (loss, (cand_logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = _update(tx, state, grads, new_bs)
+        acc_count = mfp_accuracy_count(cand_logits, batch["weight"])
+        count = batch["weight"].sum() * mask_num
+        return new_state, {"loss": loss, "count": count, "acc_count": acc_count}
+
+    def eval_step(state: TrainState, batch, rng):
+        corrupted, masked_index, candidates = _corrupt_and_sample(rng, batch)
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        cand_logits = _apply_eval(model, variables, corrupted,
+                                  masked_index=masked_index, candidates=candidates)
+        loss = _loss_from_logits(cand_logits, candidates, batch["weight"])
+        acc_count = mfp_accuracy_count(cand_logits, batch["weight"])
+        count = batch["weight"].sum() * mask_num
+        return {"loss": loss, "count": count, "acc_count": acc_count}
+
+    return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)
+
+
+# ---------------------------------------------------------------------------
+# RFD: replaced feature detection, reference trainer.py:393-515
+# ---------------------------------------------------------------------------
+
+def make_rfd_steps(model, config, args, tx, base_rng):
+    mask_num = corruption.mask_num_of(config.num_fields, args.mask_ratio)
+    f = int(config.num_fields)
+    idx_low = None if config.idx_low is None else jnp.asarray(config.idx_low)
+    idx_high = None if config.idx_high is None else jnp.asarray(config.idx_high)
+
+    def _corrupt(rng, batch):
+        return corruption.rfd_corrupt(
+            rng, batch["input_ids"], mask_num, args.sampling_method,
+            args.RFD_replace, int(config.input_size),
+            idx_low=idx_low, idx_high=idx_high,
+            noise_rows=batch.get("noise_rows"))
+
+    def _metrics(logits, labels, weight):
+        per = bce_with_logits(logits, labels)
+        denom = jnp.maximum(weight.sum(), 1.0) * f
+        loss = (per * weight[:, None]).sum() / denom
+        pred = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
+        acc = ((pred == labels).astype(jnp.float32) * weight[:, None]).sum() / denom
+        pos_ratio = (labels * weight[:, None]).sum() / denom
+        return loss, acc, pos_ratio, denom
+
+    def train_step(state: TrainState, batch):
+        rng = jax.random.fold_in(base_rng, state.step)
+        k_corrupt, k_drop = jax.random.split(rng)
+        corrupted, labels = _corrupt(k_corrupt, batch)
+
+        def loss_fn(params):
+            logits, new_bs = _apply_train(model, state, params, corrupted, k_drop)
+            loss, acc, pos_ratio, count = _metrics(logits, labels, batch["weight"])
+            return loss, (acc, pos_ratio, count, new_bs)
+
+        (loss, (acc, pos_ratio, count, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = _update(tx, state, grads, new_bs)
+        return new_state, {"loss": loss, "count": count, "acc": acc,
+                           "pos_ratio": pos_ratio}
+
+    def eval_step(state: TrainState, batch, rng):
+        corrupted, labels = _corrupt(rng, batch)
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        logits = _apply_eval(model, variables, corrupted)
+        loss, acc, pos_ratio, count = _metrics(logits, labels, batch["weight"])
+        return {"loss": loss, "count": count, "acc": acc, "pos_ratio": pos_ratio}
+
+    return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)

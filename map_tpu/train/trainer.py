@@ -1,0 +1,378 @@
+"""Trainer: supervised train/eval/test loops and MFP/RFD pretrain loops.
+
+Loop-contract parity with the reference `code/trainer.py`:
+- supervised: epoch loop, windowed train AUC every logging_steps
+  (trainer.py:146-154), per-epoch eval with best-AUC checkpointing and
+  patience-based early stop (trainer.py:206-215), final metric table, test on
+  the restored best checkpoint (trainer.py:529-535);
+- MFP/RFD pretrain: windowed loss/acc logs, per-epoch masked eval, one
+  checkpoint at the end of all epochs (trainer.py:349-350, 473-474);
+- checkpoints are `{global_step}.model` files.
+
+The per-batch work (corruption, NCE sampling, forward/backward, AdamW,
+schedule) is entirely inside the jitted steps (map_tpu.train.train_step); the
+host only streams fixed-shape batches and accumulates metrics. Metric fetches
+are deferred to window boundaries so device dispatch stays async.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+import pandas as pd
+
+from map_tpu.data.loader import Batcher
+from map_tpu.objectives import corruption
+from map_tpu.objectives.alias import load_or_build_alias, noise_distribution
+from map_tpu.train import checkpoints, train_step as ts
+from map_tpu.train.optimizer import build_optimizer
+from map_tpu.utils.metrics import binary_log_loss, roc_auc
+
+logger = logging.getLogger(__name__)
+
+
+class Trainer:
+    def __init__(self, model, model_config, training_args, dataset):
+        self.model = model
+        self.config = model_config
+        self.args = training_args
+        self.dataset = dataset
+
+        self.global_step = 0
+        self.eval_metrics = []
+        self.best_eval_auc = 0.0
+        self.best_eval_step = -1
+        self._patience = 0
+        self._stop_training = False
+
+        self.state: Optional[ts.TrainState] = None
+        self._train_step = None
+        self._eval_step = None
+
+        if getattr(self.config, "pretrain", False) and self.config.pt_type == "MFP":
+            probs = noise_distribution(self.config.feat_count)
+            self.config.logprob_noise = np.log(probs).astype(np.float32)
+            self.config.norm_term = float(np.log(len(probs)))  # lnZ auto (nce_loss.py:69-72)
+            self._alias_prob, self._alias_alias = load_or_build_alias(
+                self.args.data_dir, probs)
+
+    # ------------------------------------------------------------------
+    # plumbing
+    # ------------------------------------------------------------------
+
+    def _noise_rows_per_example(self) -> int:
+        if getattr(self.config, "pretrain", False) and self.config.pt_type == "RFD" \
+                and self.args.RFD_replace in ("Unigram", "Whole-Unigram"):
+            return corruption.mask_num_of(self.config.num_fields, self.args.mask_ratio)
+        return 0
+
+    def get_batcher(self, split: str, is_training: bool) -> Batcher:
+        bs = self.args.per_device_train_batch_size if is_training \
+            else self.args.per_device_eval_batch_size
+        from map_tpu.parallel.mesh import data_parallel_size
+        bs = bs * max(1, data_parallel_size(self.args))
+        return Batcher(
+            self.dataset.X[split], self.dataset.Y[split],
+            batch_size=bs, shuffle=is_training, seed=self.args.seed,
+            noise_source=self.dataset.X["train"],
+            noise_rows_per_example=self._noise_rows_per_example(),
+        )
+
+    def _build_steps(self, num_batches_per_epoch: int):
+        t_total = int(num_batches_per_epoch * self.args.num_train_epochs)
+        t_warmup = int(t_total * self.args.warmup_ratio)
+        tx, self._schedule = build_optimizer(self.args, t_total, t_warmup)
+        rng = jax.random.PRNGKey(self.args.seed)
+        init_rng, step_rng, self._eval_rng_base = jax.random.split(rng, 3)
+
+        sample = next(self.get_batcher("train", True).epoch(0))
+        self.state = ts.create_train_state(self.model, self.config, self.args,
+                                           tx, init_rng, sample)
+        if self.args.finetune and self.args.pretrained_model_path:
+            self.load_for_finetune(self.args.pretrained_model_path)
+
+        if getattr(self.config, "pretrain", False):
+            if self.config.pt_type == "MFP":
+                self._train_step, self._eval_step = ts.make_mfp_steps(
+                    self.model, self.config, self.args, tx, step_rng,
+                    self._alias_prob, self._alias_alias, self.config.logprob_noise)
+            elif self.config.pt_type == "RFD":
+                self._train_step, self._eval_step = ts.make_rfd_steps(
+                    self.model, self.config, self.args, tx, step_rng)
+            else:
+                raise NotImplementedError(self.config.pt_type)
+        else:
+            self._train_step, self._eval_step = ts.make_supervised_steps(
+                self.model, self.config, self.args, tx, step_rng)
+        self._t_total, self._t_warmup = t_total, t_warmup
+
+    def _variables(self) -> Dict:
+        v = {"params": self.state.params}
+        if self.state.batch_stats:
+            v["batch_stats"] = self.state.batch_stats
+        return v
+
+    def load_for_finetune(self, model_path: str) -> None:
+        """Shape-matched partial restore (models.py:109-112)."""
+        target = checkpoints.load_model_file(model_path)
+        host_vars = jax.device_get(self._variables())
+        merged, loaded, skipped = checkpoints.partial_restore(host_vars, target)
+        logger.info(f"finetune restore: {loaded} tensors loaded, {skipped} skipped")
+        self.state = self.state.replace(
+            params=merged["params"],
+            batch_stats=merged.get("batch_stats", self.state.batch_stats))
+
+    def _log_run_header(self, title: str, num_batches: int) -> None:
+        logger.info(f"\n***** running {title} *****")
+        logger.info(f"  dataset_name = {self.args.dataset_name}")
+        logger.info(f"  input_size = {self.config.input_size}")
+        logger.info(f"  num_fields = {self.config.num_fields}")
+        logger.info(f"  num_examples = {self.dataset.split_sizes()['train']}")
+        logger.info(f"  num_epochs = {self.args.num_train_epochs}")
+        logger.info(f"  batch_size = {self.args.train_batch_size}")
+        logger.info(f"  total_steps = {self._t_total}")
+        logger.info(f"  warmup_steps = {self._t_warmup}")
+        logger.info(f"  learning_rate = {self.args.learning_rate}")
+        logger.info(f"  weight_decay = {self.args.weight_decay}")
+        logger.info(f"  lr_sched = {self.args.lr_sched}")
+        self.model.validate_model_config()
+
+    def _current_lr(self) -> float:
+        return float(self._schedule(max(self.global_step - 1, 0)))
+
+    # ------------------------------------------------------------------
+    # supervised CTR (trainer.py:87-161)
+    # ------------------------------------------------------------------
+
+    def train(self) -> None:
+        batcher = self.get_batcher("train", True)
+        self._build_steps(len(batcher))
+        self._log_run_header("training", len(batcher))
+
+        self._patience = 0
+        self._stop_training = False
+        self.global_step = 0
+        self.eval_metrics = []
+        tr_loss_window = []
+        tr_labels, tr_probs, tr_weights = [], [], []
+
+        for epoch in range(self.args.num_train_epochs):
+            logger.info(f"-------------------- epoch-{epoch} --------------------")
+            for batch in batcher.epoch(epoch):
+                self.state, metrics = self._train_step(self.state, batch)
+                self.global_step += 1
+                tr_loss_window.append(metrics["loss"])
+                tr_probs.append(metrics["probs"])
+                tr_labels.append(batch["labels"])
+                tr_weights.append(batch["weight"])
+
+                if self.global_step % self.args.logging_steps == 0:
+                    losses = np.asarray(jax.device_get(tr_loss_window), np.float64)
+                    probs = np.concatenate(jax.device_get(tr_probs)).astype(np.float64)
+                    labels = np.concatenate(tr_labels)
+                    w = np.concatenate(tr_weights) > 0
+                    window_auc = roc_auc(labels[w], probs[w])
+                    _log = {"window_auc": window_auc,
+                            "window_loss": float(losses.mean())}
+                    logger.info(f"step = {self.global_step}, {_log}")
+                    tr_loss_window, tr_labels, tr_probs, tr_weights = [], [], [], []
+
+            self.eval()
+            if self._stop_training:
+                break
+
+        with pd.option_context("display.max_rows", None, "display.max_columns", None):
+            logger.info(str(pd.DataFrame(self.eval_metrics, columns=["auc", "log_loss"])))
+
+    def eval(self, split: str = "valid", test_eval: bool = False) -> Dict[str, float]:
+        batcher = self.get_batcher(split, False)
+        logger.info("\n***** running TEST *****" if test_eval else "\n***** running eval *****")
+        logger.info(f"  num examples = {batcher.num_examples()}")
+        logger.info(f"  batch size = {batcher.batch_size}")
+
+        all_logits, all_probs, all_labels, all_w = [], [], [], []
+        for batch in batcher.epoch(0):
+            m = self._eval_step(self.state, batch)
+            all_logits.append(m["logits"])
+            all_probs.append(m["probs"])
+            all_labels.append(batch["labels"])
+            all_w.append(batch["weight"])
+        logits = np.concatenate(jax.device_get(all_logits)).astype(np.float64)
+        probs = np.concatenate(jax.device_get(all_probs)).astype(np.float64)
+        labels = np.concatenate(all_labels)
+        w = np.concatenate(all_w) > 0
+        logits, probs, labels = logits[w], probs[w], labels[w]
+
+        auc = roc_auc(labels, probs)
+        ll = binary_log_loss(labels, probs)
+        self.eval_metrics.append([auc, ll])
+        _log = {
+            "learning_rate": self._current_lr(),
+            "eval_auc": auc,
+            "eval_loss": ll,
+            "avg_logits": float(logits.mean()),
+            "avg_probs": float(probs.mean()),
+        }
+        logger.info(str(_log))
+        if not test_eval:
+            if auc > self.best_eval_auc:
+                self.best_eval_auc = auc
+                self.best_eval_step = self.global_step
+                self._patience = 0
+                self.save_model(self.args.output_dir)
+            else:
+                self._patience += 1
+            if self._patience > self.args.patience:
+                self._stop_training = True
+        return _log
+
+    # ------------------------------------------------------------------
+    # MFP pretrain (trainer.py:268-391)
+    # ------------------------------------------------------------------
+
+    def MFP_pretrain(self) -> None:
+        batcher = self.get_batcher("train", True)
+        self._build_steps(len(batcher))
+        self._log_run_header("pretraining", len(batcher))
+        logger.info(f"  mask_ratio = {self.args.mask_ratio}")
+        logger.info(f"  pt_neg_num = {self.config.pt_neg_num}")
+        logger.info(f"  pt_type = {self.config.pt_type}")
+
+        self.global_step = 0
+        self.eval_metrics = []
+        window = {"loss": [], "count": [], "acc_count": []}
+        start_time = time.time()
+
+        for epoch in range(self.args.num_train_epochs):
+            logger.info(f"-------------------- epoch-{epoch} --------------------")
+            for batch in batcher.epoch(epoch):
+                self.state, m = self._train_step(self.state, batch)
+                self.global_step += 1
+                for key in window:
+                    window[key].append(m[key])
+                if self.global_step % self.args.logging_steps == 0:
+                    vals = jax.device_get(window)
+                    loss = float(np.mean(vals["loss"]))
+                    acc = float(np.sum(vals["acc_count"]) / np.sum(vals["count"]))
+                    _log = {"window_loss": loss, "window_acc": acc,
+                            "time_cost": time.time() - start_time}
+                    logger.info(f"step = {self.global_step}, {_log}")
+                    window = {"loss": [], "count": [], "acc_count": []}
+                    start_time = time.time()
+            self.MFP_pretrain_eval()
+        self.save_model(self.args.output_dir)
+
+        with pd.option_context("display.max_rows", None, "display.max_columns", None):
+            logger.info(str(pd.DataFrame(self.eval_metrics, columns=["mfp_loss", "mfp_acc"])))
+
+    def MFP_pretrain_eval(self) -> Dict[str, float]:
+        batcher = self.get_batcher("valid", False)
+        logger.info("***** running eval *****")
+        logger.info(f"  num examples = {batcher.num_examples()}")
+        total_loss, total_acc, count = 0.0, 0.0, 0.0
+        start_time = time.time()
+        for i, batch in enumerate(batcher.epoch(0)):
+            rng = jax.random.fold_in(self._eval_rng_base, i)
+            m = jax.device_get(self._eval_step(self.state, batch, rng))
+            c = float(m["count"])
+            total_loss += float(m["loss"]) * c
+            total_acc += float(m["acc_count"])
+            count += c
+        _log = {
+            "learning_rate": self._current_lr(),
+            "eval_mfp_loss": total_loss / count,
+            "eval_mfp_acc": total_acc / count,
+            "eval_time_cost": time.time() - start_time,
+        }
+        self.eval_metrics.append([_log["eval_mfp_loss"], _log["eval_mfp_acc"]])
+        logger.info(str(_log))
+        return _log
+
+    # ------------------------------------------------------------------
+    # RFD pretrain (trainer.py:393-515)
+    # ------------------------------------------------------------------
+
+    def RFD_pretrain(self) -> None:
+        batcher = self.get_batcher("train", True)
+        self._build_steps(len(batcher))
+        self._log_run_header("pretraining", len(batcher))
+        logger.info(f"  pt_type = {self.config.pt_type}")
+        logger.info(f"  mask_ratio = {self.args.mask_ratio}")
+        logger.info(f"  RFD_replace = {self.args.RFD_replace}")
+
+        self.global_step = 0
+        self.eval_metrics = []
+        window = {"loss": [], "acc": [], "pos_ratio": []}
+        start_time = time.time()
+
+        for epoch in range(self.args.num_train_epochs):
+            logger.info(f"-------------------- epoch-{epoch} --------------------")
+            for batch in batcher.epoch(epoch):
+                self.state, m = self._train_step(self.state, batch)
+                self.global_step += 1
+                for key in window:
+                    window[key].append(m[key])
+                if self.global_step % self.args.logging_steps == 0:
+                    vals = jax.device_get(window)
+                    _log = {"window_rfd_loss": float(np.mean(vals["loss"])),
+                            "window_rfd_acc": float(np.mean(vals["acc"])),
+                            "window_pos_ratio": float(np.mean(vals["pos_ratio"])),
+                            "time_cost": time.time() - start_time}
+                    logger.info(f"step = {self.global_step}, {_log}")
+                    window = {"loss": [], "acc": [], "pos_ratio": []}
+                    start_time = time.time()
+            self.RFD_pretrain_eval()
+        self.save_model(self.args.output_dir)
+
+        with pd.option_context("display.max_rows", None, "display.max_columns", None):
+            logger.info(str(pd.DataFrame(self.eval_metrics, columns=["rfd_loss", "rfd_acc"])))
+
+    def RFD_pretrain_eval(self) -> Dict[str, float]:
+        batcher = self.get_batcher("valid", False)
+        logger.info("\n***** running eval *****")
+        logger.info(f"  num examples = {batcher.num_examples()}")
+        total_loss, total_acc, count = 0.0, 0.0, 0.0
+        start_time = time.time()
+        for i, batch in enumerate(batcher.epoch(0)):
+            rng = jax.random.fold_in(self._eval_rng_base, i)
+            m = jax.device_get(self._eval_step(self.state, batch, rng))
+            c = float(m["count"])
+            total_loss += float(m["loss"]) * c
+            total_acc += float(m["acc"]) * c
+            count += c
+        _log = {
+            "learning_rate": self._current_lr(),
+            "eval_rfd_loss": total_loss / count,
+            "eval_rfd_acc": total_acc / count,
+            "eval_time_cost": time.time() - start_time,
+        }
+        self.eval_metrics.append([_log["eval_rfd_loss"], _log["eval_rfd_acc"]])
+        logger.info(str(_log))
+        return _log
+
+    # ------------------------------------------------------------------
+    # checkpoint I/O + test (trainer.py:517-535)
+    # ------------------------------------------------------------------
+
+    def save_model(self, model_dir: str) -> str:
+        return checkpoints.save_model(jax.device_get(self._variables()),
+                                      model_dir, self.global_step)
+
+    def load_model(self, load_step: int, model_dir: str) -> None:
+        restored = checkpoints.load_model(model_dir, load_step)
+        self.state = self.state.replace(
+            params=restored["params"],
+            batch_stats=restored.get("batch_stats", self.state.batch_stats))
+
+    def test(self, load_step: int = -1, model_dir: Optional[str] = None
+             ) -> Dict[str, float]:
+        if load_step == -1:
+            load_step = self.best_eval_step
+        if model_dir is None:
+            model_dir = self.args.output_dir
+        self.load_model(load_step, model_dir)
+        return self.eval("test", test_eval=True)

@@ -1,0 +1,13 @@
+#!/bin/bash
+# Parity: reference run_script/run_DCNv2_RFD.sh (Unigram generator)
+python -m map_tpu.run \
+  --model_name=dcnv2 \
+  --output_dir=outputs/avazu/RFD/pretrain \
+  --dataset_name=avazu --data_dir=data/avazu \
+  --pretrain --pt_type=RFD --RFD_replace=Unigram \
+  --sampling_method=randint --mask_ratio=0.3 --proj_size=32 \
+  --per_device_train_batch_size=4096 --per_device_eval_batch_size=10000 \
+  --learning_rate=1e-3 --lr_sched=cosine --weight_decay=5e-2 \
+  --num_train_epochs=3 \
+  --embed_size=16 --hidden_size=1000 --num_hidden_layers=3 --num_cross_layers=3 \
+  "$@"

@@ -1,0 +1,85 @@
+"""Distributed equivalence: the same jitted step under a 1-device layout and an
+8-device ('data','model') mesh must produce the same loss (SURVEY.md §4 tier 3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import map_tpu.models as models
+from map_tpu.config import TrainingArguments
+from map_tpu.parallel.mesh import build_mesh
+from map_tpu.parallel.sharding import shard_batch, shard_state
+from map_tpu.train import train_step as ts
+from map_tpu.train.optimizer import build_optimizer
+from tests.conftest import base_model_config
+
+
+def _setup(pretrain=False):
+    cfg = base_model_config(model_name="dcnv2",
+                            pretrain=pretrain, pt_type="MFP")
+    if pretrain:
+        probs = np.full(cfg.input_size, 1.0 / cfg.input_size)
+        cfg.logprob_noise = np.log(probs).astype(np.float32)
+        cfg.norm_term = float(np.log(cfg.input_size))
+    args = TrainingArguments(
+        output_dir="/tmp/shard_test", learning_rate=1e-3, lr_sched="const",
+        weight_decay=0.1, max_grad_norm=0.0, warmup_ratio=0.0,
+        mask_ratio=0.25, sampling_method="randint", pretrain=pretrain)
+    model = models.from_config(cfg)
+    tx, _ = build_optimizer(args, 100, 0)
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": np.asarray(rng.integers(10, cfg.input_size, (32, 8)), np.int32),
+        "labels": rng.integers(0, 2, 32).astype(np.float32),
+        "weight": np.ones(32, np.float32),
+    }
+    state = ts.create_train_state(model, cfg, args, tx, jax.random.PRNGKey(0), batch)
+    return model, cfg, args, tx, state, batch
+
+
+def test_supervised_step_matches_across_mesh():
+    model, cfg, args, tx, state, batch = _setup()
+    step, _ = ts.make_supervised_steps(model, cfg, args, tx, jax.random.PRNGKey(1))
+
+    _, m1 = step(state, batch)
+    loss_single = float(m1["loss"])
+
+    model2, cfg2, args2, tx2, state2, _ = _setup()
+    step2, _ = ts.make_supervised_steps(model2, cfg2, args2, tx2, jax.random.PRNGKey(1))
+    mesh = build_mesh(4, 2)
+    state2 = shard_state(state2, mesh)
+    sbatch = shard_batch(batch, mesh)
+    _, m8 = step2(state2, sbatch)
+    loss_mesh = float(m8["loss"])
+    assert abs(loss_single - loss_mesh) < 1e-5
+
+
+def test_mfp_step_matches_across_mesh():
+    from map_tpu.objectives.alias import build_alias_table
+
+    model, cfg, args, tx, state, batch = _setup(pretrain=True)
+    probs = np.exp(cfg.logprob_noise)
+    prob_t, alias_t = build_alias_table(probs / probs.sum())
+    step, _ = ts.make_mfp_steps(model, cfg, args, tx, jax.random.PRNGKey(1),
+                                prob_t, alias_t, cfg.logprob_noise)
+    _, m1 = step(state, batch)
+    loss_single = float(m1["loss"])
+
+    model2, cfg2, args2, tx2, state2, _ = _setup(pretrain=True)
+    step2, _ = ts.make_mfp_steps(model2, cfg2, args2, tx2, jax.random.PRNGKey(1),
+                                 prob_t, alias_t, cfg2.logprob_noise)
+    mesh = build_mesh(2, 4)  # stress the model axis
+    state2 = shard_state(state2, mesh)
+    sbatch = shard_batch(batch, mesh)
+    new_state, m8 = step2(state2, sbatch)
+    assert abs(loss_single - float(m8["loss"])) < 1e-5
+    # embedding table stays row-sharded after the update
+    emb_shard = new_state.params["embed"]["embedding"].sharding
+    assert emb_shard.spec[0] == "model"
+
+
+def test_mesh_shapes():
+    mesh = build_mesh(-1, 2)
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("data", "model")
