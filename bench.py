@@ -63,16 +63,17 @@ def main() -> None:
 
     device_batch = jax.device_put(batch)
 
-    # Warmup + compile
+    # Warmup + compile. NOTE: on the axon-tunneled TPU, block_until_ready
+    # returns early — a host value fetch is the only reliable barrier.
     for _ in range(10):
         state, metrics = train_step(state, device_batch)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     n_steps = 100
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = train_step(state, device_batch)
-    jax.block_until_ready(metrics["loss"])
+    final_loss = float(metrics["loss"])  # forces the whole dependency chain
     dt = time.perf_counter() - t0
 
     examples_per_sec = batch_size * n_steps / dt
@@ -82,7 +83,7 @@ def main() -> None:
         "unit": "examples/s",
         "vs_baseline": round(examples_per_sec / REFERENCE_GPU_EXAMPLES_PER_SEC, 3),
     }))
-    print(f"steps/s = {n_steps / dt:.2f}, loss = {float(metrics['loss']):.4f}",
+    print(f"steps/s = {n_steps / dt:.2f}, loss = {final_loss:.4f}",
           file=sys.stderr)
 
 

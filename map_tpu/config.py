@@ -51,6 +51,12 @@ class TrainingArguments:
     finetune: bool = False
     pretrained_model_path: Optional[str] = None
 
+    # Resume / observability (no working reference counterpart: the reference
+    # never checkpoints optimizer state and its save_steps flag is dead,
+    # SURVEY.md §5.3-5.4)
+    resume: bool = False          # restore {output_dir}/resume.state if present
+    profile_steps: int = 0        # >0: capture a jax.profiler trace of N steps
+
     # TPU-native additions (no reference counterpart)
     num_data_shards: int = -1    # data-parallel mesh size; -1 = all devices
     num_model_shards: int = 1    # embedding-table row-shard count ('model' axis)

@@ -53,6 +53,61 @@ def _tree_map_np(tree: Any) -> Any:
     return np.asarray(tree)
 
 
+def prune_checkpoints(model_dir: str, keep: int) -> None:
+    """Keep only the newest `keep` step-named checkpoints (save_total_limit —
+    a dead flag in the reference, arguments.py:34-36; functional here)."""
+    import glob
+
+    paths = glob.glob(os.path.join(model_dir, "*.model"))
+    steps = []
+    for p in paths:
+        stem = os.path.basename(p)[:-len(".model")]
+        if stem.isdigit():
+            steps.append((int(stem), p))
+    steps.sort()
+    for _, p in steps[:-keep] if keep > 0 else []:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+
+
+# ---------------------------------------------------------------------------
+# Full-train-state checkpoints for mid-run resume. The reference has NO mid-run
+# resume (optimizer state is never checkpointed, SURVEY.md §5.3); this is a
+# framework addition: params + optimizer moments + step + trainer bookkeeping.
+# ---------------------------------------------------------------------------
+
+def resume_path(output_dir: str) -> str:
+    return os.path.join(output_dir, "resume.state")
+
+
+def save_train_state(output_dir: str, state, trainer_meta: Dict[str, Any]) -> str:
+    payload = {
+        "state": serialization.to_state_dict(state),
+        "meta": trainer_meta,
+    }
+    os.makedirs(output_dir, exist_ok=True)
+    path = resume_path(output_dir)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.msgpack_serialize(_tree_map_np(payload)))
+    os.replace(tmp, path)  # atomic
+    return path
+
+
+def load_train_state(output_dir: str, state_template):
+    path = resume_path(output_dir)
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    state = serialization.from_state_dict(state_template, payload["state"])
+    return state, payload["meta"]
+
+
+def has_resume_state(output_dir: str) -> bool:
+    return os.path.exists(resume_path(output_dir))
+
+
 def partial_restore(variables: Dict[str, Any], target_state: Dict[str, Any]
                     ) -> Tuple[Dict[str, Any], int, int]:
     """Copy every tensor whose path AND shape match; keep the rest.

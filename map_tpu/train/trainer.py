@@ -52,6 +52,7 @@ class Trainer:
         self.state: Optional[ts.TrainState] = None
         self._train_step = None
         self._eval_step = None
+        self._profiler_active = False
 
         if getattr(self.config, "pretrain", False) and self.config.pt_type == "MFP":
             probs = noise_distribution(self.config.feat_count)
@@ -109,6 +110,70 @@ class Trainer:
             self._train_step, self._eval_step = ts.make_supervised_steps(
                 self.model, self.config, self.args, tx, step_rng)
         self._t_total, self._t_warmup = t_total, t_warmup
+        self._maybe_resume()
+
+    # ------------------------------------------------------------------
+    # mid-run resume (framework addition; reference never checkpoints
+    # optimizer state, SURVEY.md §5.3)
+    # ------------------------------------------------------------------
+
+    def _maybe_resume(self) -> None:
+        if not getattr(self.args, "resume", False):
+            return
+        if not checkpoints.has_resume_state(self.args.output_dir):
+            return
+        self.state, meta = checkpoints.load_train_state(
+            self.args.output_dir, jax.device_get(self.state))
+        self.global_step = int(meta["global_step"])
+        self.best_eval_auc = float(meta["best_eval_auc"])
+        self.best_eval_step = int(meta["best_eval_step"])
+        self._patience = int(meta["patience"])
+        self.eval_metrics = [list(m) for m in meta.get("eval_metrics", [])]
+        logger.info(f"resumed from step {self.global_step} "
+                    f"(best_eval_auc={self.best_eval_auc:.6f})")
+
+    def _post_step(self) -> None:
+        self._maybe_save_resume()
+        self._profile_hook()
+
+    def _profile_hook(self) -> None:
+        """Capture a jax.profiler trace of steps [2, 2+profile_steps) to
+        {output_dir}/profile (reference has no tracing at all, SURVEY.md §5.1)."""
+        ps = getattr(self.args, "profile_steps", 0)
+        if not ps:
+            return
+        import os
+
+        if self.global_step == 2 and not self._profiler_active:
+            jax.profiler.start_trace(os.path.join(self.args.output_dir, "profile"))
+            self._profiler_active = True
+        elif self._profiler_active and self.global_step >= 2 + ps:
+            jax.profiler.stop_trace()
+            self._profiler_active = False
+
+    def _maybe_save_resume(self) -> None:
+        if self.args.save_steps and self.global_step % self.args.save_steps == 0:
+            checkpoints.save_train_state(
+                self.args.output_dir, jax.device_get(self.state),
+                {"global_step": self.global_step,
+                 "best_eval_auc": self.best_eval_auc,
+                 "best_eval_step": self.best_eval_step,
+                 "patience": self._patience,
+                 "eval_metrics": self.eval_metrics})
+
+    def _epochs_with_skip(self, batcher):
+        """Yield (epoch, batch_iter); on resume, fast-forwards past consumed
+        epochs/batches (the shuffled order is seeded per epoch, so skipping
+        reproduces the exact stream)."""
+        per_epoch = len(batcher)
+        start_epoch = self.global_step // per_epoch
+        skip = self.global_step % per_epoch
+        for epoch in range(start_epoch, self.args.num_train_epochs):
+            it = batcher.epoch(epoch)
+            if epoch == start_epoch and skip:
+                for _ in range(skip):
+                    next(it)
+            yield epoch, it
 
     def _variables(self) -> Dict:
         v = {"params": self.state.params}
@@ -153,18 +218,16 @@ class Trainer:
         self._build_steps(len(batcher))
         self._log_run_header("training", len(batcher))
 
-        self._patience = 0
         self._stop_training = False
-        self.global_step = 0
-        self.eval_metrics = []
         tr_loss_window = []
         tr_labels, tr_probs, tr_weights = [], [], []
 
-        for epoch in range(self.args.num_train_epochs):
+        for epoch, batches in self._epochs_with_skip(batcher):
             logger.info(f"-------------------- epoch-{epoch} --------------------")
-            for batch in batcher.epoch(epoch):
+            for batch in batches:
                 self.state, metrics = self._train_step(self.state, batch)
                 self.global_step += 1
+                self._post_step()
                 tr_loss_window.append(metrics["loss"])
                 tr_probs.append(metrics["probs"])
                 tr_labels.append(batch["labels"])
@@ -242,16 +305,15 @@ class Trainer:
         logger.info(f"  pt_neg_num = {self.config.pt_neg_num}")
         logger.info(f"  pt_type = {self.config.pt_type}")
 
-        self.global_step = 0
-        self.eval_metrics = []
         window = {"loss": [], "count": [], "acc_count": []}
         start_time = time.time()
 
-        for epoch in range(self.args.num_train_epochs):
+        for epoch, batches in self._epochs_with_skip(batcher):
             logger.info(f"-------------------- epoch-{epoch} --------------------")
-            for batch in batcher.epoch(epoch):
+            for batch in batches:
                 self.state, m = self._train_step(self.state, batch)
                 self.global_step += 1
+                self._post_step()
                 for key in window:
                     window[key].append(m[key])
                 if self.global_step % self.args.logging_steps == 0:
@@ -304,16 +366,15 @@ class Trainer:
         logger.info(f"  mask_ratio = {self.args.mask_ratio}")
         logger.info(f"  RFD_replace = {self.args.RFD_replace}")
 
-        self.global_step = 0
-        self.eval_metrics = []
         window = {"loss": [], "acc": [], "pos_ratio": []}
         start_time = time.time()
 
-        for epoch in range(self.args.num_train_epochs):
+        for epoch, batches in self._epochs_with_skip(batcher):
             logger.info(f"-------------------- epoch-{epoch} --------------------")
-            for batch in batcher.epoch(epoch):
+            for batch in batches:
                 self.state, m = self._train_step(self.state, batch)
                 self.global_step += 1
+                self._post_step()
                 for key in window:
                     window[key].append(m[key])
                 if self.global_step % self.args.logging_steps == 0:
@@ -359,8 +420,12 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def save_model(self, model_dir: str) -> str:
-        return checkpoints.save_model(jax.device_get(self._variables()),
+        path = checkpoints.save_model(jax.device_get(self._variables()),
                                       model_dir, self.global_step)
+        limit = getattr(self.args, "save_total_limit", None)
+        if limit:
+            checkpoints.prune_checkpoints(model_dir, limit)
+        return path
 
     def load_model(self, load_step: int, model_dir: str) -> None:
         restored = checkpoints.load_model(model_dir, load_step)
