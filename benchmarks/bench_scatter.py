@@ -52,10 +52,28 @@ def main():
     def seg_sum_unsorted(ids, g):
         return jax.ops.segment_sum(g, ids, num_segments=V).sum()
 
+    from map_tpu.ops.pallas_scatter import scatter_add
+
+    def pallas(ids, g):
+        return scatter_add(ids, g, V).sum()
+
+    # correctness on hardware first
+    ref = np.asarray(jax.jit(lambda i, x: jnp.zeros((V, E), jnp.float32)
+                             .at[i].add(x))(ids, g))
+    out = np.asarray(jax.jit(lambda i, x: scatter_add(i, x, V))(ids, g))
+    err = np.abs(ref - out).max()
+    print(f"pallas max |err| vs scatter: {err:.2e}")
+
+    def sort_only(ids, g):
+        order = jnp.argsort(ids)
+        return ids[order].sum() + g[order].sum()
+
     for name, fn in [("plain scatter", plain),
                      ("sorted scatter", sorted_scatter),
                      ("segsum sorted", seg_sum),
-                     ("segsum plain", seg_sum_unsorted)]:
+                     ("segsum plain", seg_sum_unsorted),
+                     ("sort only", sort_only),
+                     ("pallas tiles", pallas)]:
         dt = timeit(jax.jit(fn), ids, g)
         print(f"{name:16s} {dt * 1e3:7.2f} ms")
 

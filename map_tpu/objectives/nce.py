@@ -65,7 +65,9 @@ class IndexLinearDecoder(nn.Module):
             return jnp.asarray(cfg.logprob_noise + cfg.norm_term, dtype=dtype)
 
         bias = self.param("bias", bias_init, (self.input_size,))
-        rows = jnp.take(emb, indices, axis=0)            # (B, M, C, E)
+        from map_tpu.ops.embedding import embedding_lookup
+
+        rows = embedding_lookup(emb, indices)            # (B, M, C, E)
         b = jnp.take(bias, indices)                      # (B, M, C)
         return jnp.einsum("bme,bmce->bmc", inputs, rows) + b
 
