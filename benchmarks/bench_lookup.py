@@ -38,10 +38,16 @@ def main():
     bytes_moved = b * f * e * 4
     print(f"xla take:      {dt_xla * 1e6:8.1f} us  {bytes_moved / dt_xla / 1e9:7.1f} GB/s")
 
+    # NOTE: the per-row DMA gather kernel is latency-bound and loses badly to
+    # XLA's native gather at E=16 (64-byte rows); measured on a small id count
+    # only. It remains a tested demonstration of the scalar-prefetch DMA path.
+    small = ids[:4, :]
     pk = jax.jit(lambda t, i: pallas_embedding_lookup(t, i, False))
     try:
-        dt_pal = bench(pk, table, ids)
-        print(f"pallas gather: {dt_pal * 1e6:8.1f} us  {bytes_moved / dt_pal / 1e9:7.1f} GB/s")
+        dt_pal = bench(pk, table, small, iters=5)
+        small_bytes = small.size * e * 4
+        print(f"pallas gather (96 rows): {dt_pal * 1e6:8.1f} us  "
+              f"{small_bytes / dt_pal / 1e9:7.3f} GB/s")
     except Exception as ex:  # pragma: no cover
         print(f"pallas gather failed: {ex}")
 

@@ -133,6 +133,8 @@ class ModelArguments:
     # Pretraining-head hyperparameters (reference arguments.py:150-151)
     pt_neg_num: int = 25
     proj_size: int = 32
+    # MFP loss mode: nce (reference default, nce_loss.py:77) | sampled | full
+    nce_loss_type: str = "nce"
 
     # Auxiliary DNN tower (reference arguments.py:154-157)
     dnn_size: int = 1000

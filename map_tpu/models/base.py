@@ -60,6 +60,19 @@ class CTRModel(nn.Module):
         selected = jnp.take_along_axis(enc, masked_index[..., None], axis=1)
         return self.mfp_decoder(selected, candidates)
 
+    def mfp_full_scores(self, input_ids: jnp.ndarray, masked_index: jnp.ndarray,
+                        train: bool = False) -> jnp.ndarray:
+        """Exact scores over the full vocabulary for 'full' CE mode
+        (nce_loss.py:133-135 / index_linear.py:145-151 — broken in the
+        reference via the undefined `noise_samples`, SURVEY.md §5; functional
+        here). Returns (B, M, V)."""
+        c = self.config
+        final_vec = self.backbone(input_ids, train)
+        b = final_vec.shape[0]
+        enc = self.feat_encoder(final_vec).reshape(b, c.num_fields, c.proj_size)
+        selected = jnp.take_along_axis(enc, masked_index[..., None], axis=1)
+        return self.mfp_decoder.full_scores(selected)
+
     def rfd_field_logits(self, final_vec: jnp.ndarray) -> jnp.ndarray:
         """RFD branch (models.py:79-85, head built at models.py:118-123)."""
         h = jax.nn.relu(self.pred_rfd_hidden(final_vec))

@@ -43,39 +43,37 @@ def bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 class IndexLinearDecoder(nn.Module):
     """Output-side embedding decoder over sampled candidate indices.
 
-    Parity: reference `code/nce/index_linear.py:29-106`. The candidate gather +
-    batched dot + bias is the fusion target of `map_tpu.ops.nce_dot`.
+    Parity: reference `code/nce/index_linear.py:29-106`. The candidate gather
+    gradient routes through the Pallas tiled scatter-add.
     """
 
     input_size: int
     proj_size: int
     config: Any  # Config bag carrying `logprob_noise` (np array) and `norm_term`
 
-    @nn.compact
-    def __call__(self, inputs: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
-        """inputs (B, M, E), indices (B, M, C) -> logits (B, M, C)."""
+    def setup(self):
         stdv = 1.0 / math.sqrt(self.proj_size)
-        emb = self.param("emb", uniform_scale_init(stdv),
-                         (self.input_size, self.proj_size))
-
+        self.emb = self.param("emb", uniform_scale_init(stdv),
+                              (self.input_size, self.proj_size))
         cfg = self.config
 
         def bias_init(key, shape, dtype=jnp.float32):
             # unigram prior + lnZ (index_linear.py:41-48)
             return jnp.asarray(cfg.logprob_noise + cfg.norm_term, dtype=dtype)
 
-        bias = self.param("bias", bias_init, (self.input_size,))
+        self.bias = self.param("bias", bias_init, (self.input_size,))
+
+    def __call__(self, inputs: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+        """inputs (B, M, E), indices (B, M, C) -> logits (B, M, C)."""
         from map_tpu.ops.embedding import embedding_lookup
 
-        rows = embedding_lookup(emb, indices)            # (B, M, C, E)
-        b = jnp.take(bias, indices)                      # (B, M, C)
+        rows = embedding_lookup(self.emb, indices)       # (B, M, C, E)
+        b = jnp.take(self.bias, indices)                 # (B, M, C)
         return jnp.einsum("bme,bmce->bmc", inputs, rows) + b
 
     def full_scores(self, inputs: jnp.ndarray) -> jnp.ndarray:
         """Exact scores over the whole vocabulary (index_linear.py:145-151)."""
-        emb = self.get_variable("params", "emb")
-        bias = self.get_variable("params", "bias")
-        return jnp.einsum("bme,ve->bmv", inputs, emb) + bias
+        return jnp.einsum("bme,ve->bmv", inputs, self.emb) + self.bias
 
 
 def nce_loss(model_logits: jnp.ndarray, noise_logprobs: jnp.ndarray,

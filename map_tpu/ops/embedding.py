@@ -45,14 +45,21 @@ def _gather_bwd(res, g):
 gather_rows.defvjp(_gather_fwd, _gather_bwd)
 
 
+# Global default for the custom-VJP (Pallas scatter) backward; overridable per
+# call. Kept as a module flag so benchmarks can A/B the full train step.
+FAST_GRAD_ENABLED = True
+
+
 def embedding_lookup(table: jnp.ndarray, ids: jnp.ndarray,
-                     use_pallas: bool = False, fast_grad: bool = True
-                     ) -> jnp.ndarray:
+                     use_pallas: bool = False,
+                     fast_grad: bool = None) -> jnp.ndarray:
     """Gather rows: table (V, E), ids (...,) int -> (..., E)."""
     if use_pallas:
         from map_tpu.ops.pallas_embedding import pallas_embedding_lookup
 
         return pallas_embedding_lookup(table, ids)
+    if fast_grad is None:
+        fast_grad = FAST_GRAD_ENABLED
     if fast_grad and table.shape[1] >= 8:
         return gather_rows(table, ids)
     return jnp.take(table, ids, axis=0)

@@ -22,6 +22,7 @@ from map_tpu.objectives import corruption
 from map_tpu.objectives.alias import alias_draw
 from map_tpu.objectives.nce import (
     bce_with_logits,
+    full_ce_loss,
     mfp_accuracy_count,
     nce_loss,
     sampled_softmax_loss,
@@ -150,9 +151,51 @@ def make_mfp_steps(model, config, args, tx, base_rng,
         loss = (per_pos * weight[:, None]).sum() / denom
         return loss
 
+    def _full_forward(state, params, corrupted, masked_index, labels, weight,
+                      dropout_rng, train):
+        """'full' mode: exact CE over the vocabulary (the reference's full
+        mode is broken — SURVEY.md §5; functional here)."""
+        variables = {"params": params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        kwargs = dict(method=model.mfp_full_scores, train=train)
+        if train:
+            kwargs["rngs"] = {"dropout": dropout_rng}
+        if state.batch_stats and train:
+            scores, mutated = model.apply(variables, corrupted, masked_index,
+                                          mutable=["batch_stats"], **kwargs)
+            new_bs = mutated["batch_stats"]
+        else:
+            scores = model.apply(variables, corrupted, masked_index, **kwargs)
+            new_bs = state.batch_stats
+        per_pos = full_ce_loss(scores, labels)
+        denom = jnp.maximum(weight.sum(), 1.0) * mask_num
+        loss = (per_pos * weight[:, None]).sum() / denom
+        hit = (jnp.argmax(scores, axis=-1) == labels).astype(jnp.float32)
+        acc_count = jnp.sum(hit * weight[:, None])
+        return loss, acc_count, new_bs
+
     def train_step(state: TrainState, batch):
         rng = jax.random.fold_in(base_rng, state.step)
         k_corrupt, k_drop = jax.random.split(rng)
+        if loss_type == "full":
+            k_mask, _ = jax.random.split(k_corrupt)
+            corrupted, labels, masked_index = corruption.mfp_corrupt(
+                k_mask, batch["input_ids"], mask_num, args.sampling_method)
+
+            def loss_fn(params):
+                loss, acc_count, new_bs = _full_forward(
+                    state, params, corrupted, masked_index, labels,
+                    batch["weight"], k_drop, True)
+                return loss, (acc_count, new_bs)
+
+            (loss, (acc_count, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            new_state = _update(tx, state, grads, new_bs)
+            count = batch["weight"].sum() * mask_num
+            return new_state, {"loss": loss, "count": count,
+                               "acc_count": acc_count}
+
         corrupted, masked_index, candidates = _corrupt_and_sample(k_corrupt, batch)
 
         def loss_fn(params):
@@ -170,6 +213,14 @@ def make_mfp_steps(model, config, args, tx, base_rng,
         return new_state, {"loss": loss, "count": count, "acc_count": acc_count}
 
     def eval_step(state: TrainState, batch, rng):
+        if loss_type == "full":
+            corrupted, labels, masked_index = corruption.mfp_corrupt(
+                rng, batch["input_ids"], mask_num, args.sampling_method)
+            loss, acc_count, _ = _full_forward(
+                state, state.params, corrupted, masked_index, labels,
+                batch["weight"], rng, False)
+            count = batch["weight"].sum() * mask_num
+            return {"loss": loss, "count": count, "acc_count": acc_count}
         corrupted, masked_index, candidates = _corrupt_and_sample(rng, batch)
         variables = {"params": state.params}
         if state.batch_stats:

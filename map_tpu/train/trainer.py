@@ -96,6 +96,22 @@ class Trainer:
         if self.args.finetune and self.args.pretrained_model_path:
             self.load_for_finetune(self.args.pretrained_model_path)
 
+        # Multi-device: shard state/batches over the ('data','model') mesh.
+        # Tables row-shard over 'model' when num_model_shards > 1 (or
+        # table_sharding='rows'); XLA inserts the gradient all-reduce over
+        # 'data' (replaces the reference's vestigial DDP, SURVEY.md §2.7).
+        self.mesh = None
+        if jax.device_count() > 1:
+            from map_tpu.parallel import sharding as sh
+            from map_tpu.parallel.mesh import mesh_from_args
+
+            self.mesh = mesh_from_args(self.args)
+            mode = self.args.table_sharding
+            if mode == "auto":
+                mode = "rows" if self.args.num_model_shards > 1 else "replicated"
+            self._table_mode = mode
+            self.state = sh.shard_state(self.state, self.mesh, mode)
+
         if getattr(self.config, "pretrain", False):
             if self.config.pt_type == "MFP":
                 self._train_step, self._eval_step = ts.make_mfp_steps(
