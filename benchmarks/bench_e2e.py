@@ -1,0 +1,82 @@
+"""End-to-end trainer throughput: full host pipeline (shuffle, pad, prefetch,
+stacked dispatch) + canonical DCNv2 on synthetic Avazu-geometry data.
+
+This is the honest examples/s number — bench.py measures the device-resident
+step; this one includes batching, H2D and dispatch. Run on hardware."""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import numpy as np
+
+
+def main(steps_per_call=8, rows=1_500_000, batch=4096):
+    import jax
+
+    import map_tpu.models as models
+    from map_tpu.config import Config, TrainingArguments
+    from map_tpu.data.loader import Batcher
+    from map_tpu.train.trainer import Trainer
+
+    logging.basicConfig(level=logging.INFO)
+
+    rng = np.random.default_rng(0)
+    f, v = 24, 1_000_000
+    X = rng.integers(10, v, (rows, f), dtype=np.int32)
+    Y = rng.integers(0, 2, rows).astype(np.float32)
+
+    class DS:
+        X = {"train": X, "valid": X[:10000], "test": X[:10000]}
+        Y = {"train": Y, "valid": Y[:10000], "test": Y[:10000]}
+        feat_count = None
+        idx_low = idx_high = feat_num_per_field = None
+
+        def split_sizes(self):
+            return {k: len(val) for k, val in self.Y.items()}
+
+    cfg = Config(model_name="dcnv2", input_size=v, num_fields=f, embed_size=16,
+                 hidden_size=1000, num_hidden_layers=3, hidden_act="relu",
+                 hidden_dropout_rate=0.0, num_cross_layers=3, pretrain=False,
+                 embed_norm=False, layer_norm_eps=1e-12, embed_dropout_rate=0.0,
+                 use_pallas=True)
+    args = TrainingArguments(
+        output_dir="/tmp/bench_e2e", learning_rate=1e-3, weight_decay=0.1,
+        lr_sched="const", warmup_ratio=0.0, max_grad_norm=0.0,
+        per_device_train_batch_size=batch, per_device_eval_batch_size=10000,
+        num_train_epochs=1, logging_steps=10 ** 9, save_steps=0,
+        steps_per_call=steps_per_call)
+
+    model = models.from_config(cfg)
+    trainer = Trainer(model, cfg, args, DS())
+    batcher = trainer.get_batcher("train", True)
+    trainer._build_steps(len(batcher))
+
+    stream = trainer._train_stream(batcher.epoch(0))
+    # warmup: compile both multi and single-step programs
+    n, dev, _ = next(stream)
+    trainer._run_train_step(n, dev)
+    consumed = n
+
+    t0 = time.perf_counter()
+    steps = 0
+    for n, dev, _ in stream:
+        m = trainer._run_train_step(n, dev)
+        steps += n
+        if steps >= 256:
+            break
+    # barrier
+    float(np.asarray(jax.tree.leaves(m)[0]).ravel()[0])
+    dt = time.perf_counter() - t0
+    ex_s = steps * batch / dt
+    print(f"steps_per_call={steps_per_call}: {steps} steps in {dt:.2f}s "
+          f"-> {ex_s:,.0f} examples/s")
+    return ex_s
+
+
+if __name__ == "__main__":
+    import sys
+
+    spc = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    main(spc)

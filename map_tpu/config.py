@@ -60,6 +60,8 @@ class TrainingArguments:
     # TPU-native additions (no reference counterpart)
     num_data_shards: int = -1    # data-parallel mesh size; -1 = all devices
     num_model_shards: int = 1    # embedding-table row-shard count ('model' axis)
+    steps_per_call: int = 8      # train steps fused per device dispatch (lax.scan)
+    prefetch_batches: int = 2    # async host->device batch prefetch depth
     use_pallas: bool = True      # enable Pallas kernels on the hot paths
     compute_dtype: str = "float32"  # float32 | bfloat16 for activations
     table_sharding: str = "auto"  # auto | replicated | rows

@@ -46,8 +46,12 @@ gather_rows.defvjp(_gather_fwd, _gather_bwd)
 
 
 # Global default for the custom-VJP (Pallas scatter) backward; overridable per
-# call. Kept as a module flag so benchmarks can A/B the full train step.
-FAST_GRAD_ENABLED = True
+# call. Benchmarked OFF: standalone the Pallas kernel beats XLA's scatter
+# (4.7 vs 6.7 ms), but inside the fused train step XLA folds the scatter into
+# the optimizer's table update and the fused program wins (9.6 vs 17.2 ms per
+# step, benchmarks/bench_step_ab.py on v5e). The kernel remains available for
+# contexts where the scatter cannot fuse (standalone grads, sharded shards).
+FAST_GRAD_ENABLED = False
 
 
 def embedding_lookup(table: jnp.ndarray, ids: jnp.ndarray,

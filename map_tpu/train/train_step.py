@@ -30,6 +30,26 @@ from map_tpu.objectives.nce import (
 from map_tpu.objectives.supervised import bce_loss
 
 
+def make_multi_step(step_fn, num_steps: int):
+    """Fuse `num_steps` sequential train steps into ONE device dispatch via
+    lax.scan over a stacked batch (leading axis = step). Amortizes per-dispatch
+    and host->device overhead — essential on high-latency links (the axon
+    tunnel costs ~1.2 ms per dispatch and ~10 ms per un-prefetched batch
+    transfer, dwarfing the 9.5 ms compute step).
+
+    stacked_batch: pytree whose leaves have leading dim num_steps. Returns
+    (state, stacked_metrics).
+    """
+
+    def multi(state, stacked_batch):
+        def body(s, b):
+            return step_fn(s, b)
+
+        return jax.lax.scan(body, state, stacked_batch)
+
+    return jax.jit(multi, donate_argnums=(0,))
+
+
 @struct.dataclass
 class TrainState:
     params: Any

@@ -125,8 +125,105 @@ class Trainer:
         else:
             self._train_step, self._eval_step = ts.make_supervised_steps(
                 self.model, self.config, self.args, tx, step_rng)
+        self._steps_per_call = max(1, getattr(self.args, "steps_per_call", 1))
+        self._multi_step = (ts.make_multi_step(self._train_step, self._steps_per_call)
+                            if self._steps_per_call > 1 else None)
         self._t_total, self._t_warmup = t_total, t_warmup
         self._maybe_resume()
+
+    # ------------------------------------------------------------------
+    # input streaming: async host->device prefetch + multi-step stacking
+    # ------------------------------------------------------------------
+
+    def _put(self, batch, stacked: bool) -> dict:
+        """Async device_put with mesh batch sharding (batch axis = 'data')."""
+        if self.mesh is None:
+            return jax.device_put(batch)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def spec(leaf):
+            ndim = leaf.ndim
+            axes = [None] * ndim
+            axes[1 if stacked else 0] = "data"
+            return NamedSharding(self.mesh, P(*axes))
+
+        return jax.device_put(batch, jax.tree.map(spec, batch))
+
+    def _train_stream(self, batches):
+        """Yields (n_steps, device_batch_or_stack, host_batches). Stacks
+        steps_per_call batches into one dispatch (lax.scan inside) and
+        prefetches transfers on a background thread so H2D overlaps compute
+        (the tunnel costs ~10 ms per un-prefetched batch)."""
+        import queue as queue_mod
+        import threading
+
+        spc = self._steps_per_call
+        depth = max(1, getattr(self.args, "prefetch_batches", 2))
+        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
+
+        def producer():
+            try:
+                group = []
+                for b in batches:
+                    group.append(b)
+                    if len(group) == spc and self._multi_step is not None:
+                        stacked = {k: np.stack([g[k] for g in group])
+                                   for k in group[0]}
+                        q.put((spc, self._put(stacked, True), group))
+                        group = []
+                for b in group:
+                    q.put((1, self._put(b, False), [b]))
+                q.put(None)
+            except BaseException as e:  # surface errors to the consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    def _eval_stream(self, batches):
+        """Prefetched (device_batch, host_batch) pairs for eval loops."""
+        import queue as queue_mod
+        import threading
+
+        depth = max(1, getattr(self.args, "prefetch_batches", 2))
+        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
+
+        def producer():
+            try:
+                for b in batches:
+                    q.put((self._put(b, False), b))
+                q.put(None)
+            except BaseException as e:
+                q.put(e)
+
+        threading.Thread(target=producer, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    def _run_train_step(self, n, dev_batch):
+        if n > 1:
+            self.state, metrics = self._multi_step(self.state, dev_batch)
+        else:
+            self.state, metrics = self._train_step(self.state, dev_batch)
+        prev = self.global_step
+        self.global_step += n
+        self._post_step(prev)
+        return metrics
+
+    def _crossed(self, prev: int, every: int) -> bool:
+        return every > 0 and (self.global_step // every) != (prev // every)
 
     # ------------------------------------------------------------------
     # mid-run resume (framework addition; reference never checkpoints
@@ -148,8 +245,8 @@ class Trainer:
         logger.info(f"resumed from step {self.global_step} "
                     f"(best_eval_auc={self.best_eval_auc:.6f})")
 
-    def _post_step(self) -> None:
-        self._maybe_save_resume()
+    def _post_step(self, prev_step: int) -> None:
+        self._maybe_save_resume(prev_step)
         self._profile_hook()
 
     def _profile_hook(self) -> None:
@@ -160,15 +257,18 @@ class Trainer:
             return
         import os
 
-        if self.global_step == 2 and not self._profiler_active:
+        if self.global_step >= 2 and not self._profiler_active \
+                and self.global_step < 2 + ps:
             jax.profiler.start_trace(os.path.join(self.args.output_dir, "profile"))
             self._profiler_active = True
         elif self._profiler_active and self.global_step >= 2 + ps:
             jax.profiler.stop_trace()
             self._profiler_active = False
 
-    def _maybe_save_resume(self) -> None:
-        if self.args.save_steps and self.global_step % self.args.save_steps == 0:
+    def _maybe_save_resume(self, prev_step: Optional[int] = None) -> None:
+        if prev_step is None:
+            prev_step = self.global_step - 1
+        if self._crossed(prev_step, self.args.save_steps):
             checkpoints.save_train_state(
                 self.args.output_dir, jax.device_get(self.state),
                 {"global_step": self.global_step,
@@ -240,18 +340,21 @@ class Trainer:
 
         for epoch, batches in self._epochs_with_skip(batcher):
             logger.info(f"-------------------- epoch-{epoch} --------------------")
-            for batch in batches:
-                self.state, metrics = self._train_step(self.state, batch)
-                self.global_step += 1
-                self._post_step()
-                tr_loss_window.append(metrics["loss"])
-                tr_probs.append(metrics["probs"])
-                tr_labels.append(batch["labels"])
-                tr_weights.append(batch["weight"])
+            for n, dev_batch, host_group in self._train_stream(batches):
+                prev = self.global_step
+                metrics = self._run_train_step(n, dev_batch)
+                tr_loss_window.append(metrics["loss"])   # () or (n,)
+                tr_probs.append(metrics["probs"])        # (B,) or (n, B)
+                tr_labels.extend(g["labels"] for g in host_group)
+                tr_weights.extend(g["weight"] for g in host_group)
 
-                if self.global_step % self.args.logging_steps == 0:
-                    losses = np.asarray(jax.device_get(tr_loss_window), np.float64)
-                    probs = np.concatenate(jax.device_get(tr_probs)).astype(np.float64)
+                if self._crossed(prev, self.args.logging_steps):
+                    got = jax.device_get(tr_loss_window)
+                    losses = np.concatenate(
+                        [np.atleast_1d(x) for x in got]).astype(np.float64)
+                    probs = np.concatenate(
+                        [np.asarray(p).reshape(-1) for p in
+                         jax.device_get(tr_probs)]).astype(np.float64)
                     labels = np.concatenate(tr_labels)
                     w = np.concatenate(tr_weights) > 0
                     window_auc = roc_auc(labels[w], probs[w])
@@ -274,8 +377,8 @@ class Trainer:
         logger.info(f"  batch size = {batcher.batch_size}")
 
         all_logits, all_probs, all_labels, all_w = [], [], [], []
-        for batch in batcher.epoch(0):
-            m = self._eval_step(self.state, batch)
+        for dev_batch, batch in self._eval_stream(batcher.epoch(0)):
+            m = self._eval_step(self.state, dev_batch)
             all_logits.append(m["logits"])
             all_probs.append(m["probs"])
             all_labels.append(batch["labels"])
@@ -326,16 +429,17 @@ class Trainer:
 
         for epoch, batches in self._epochs_with_skip(batcher):
             logger.info(f"-------------------- epoch-{epoch} --------------------")
-            for batch in batches:
-                self.state, m = self._train_step(self.state, batch)
-                self.global_step += 1
-                self._post_step()
+            for n, dev_batch, host_group in self._train_stream(batches):
+                prev = self.global_step
+                m = self._run_train_step(n, dev_batch)
                 for key in window:
                     window[key].append(m[key])
-                if self.global_step % self.args.logging_steps == 0:
+                if self._crossed(prev, self.args.logging_steps):
                     vals = jax.device_get(window)
-                    loss = float(np.mean(vals["loss"]))
-                    acc = float(np.sum(vals["acc_count"]) / np.sum(vals["count"]))
+                    flat = {k: np.concatenate([np.atleast_1d(x) for x in v])
+                            for k, v in vals.items()}
+                    loss = float(np.mean(flat["loss"]))
+                    acc = float(np.sum(flat["acc_count"]) / np.sum(flat["count"]))
                     _log = {"window_loss": loss, "window_acc": acc,
                             "time_cost": time.time() - start_time}
                     logger.info(f"step = {self.global_step}, {_log}")
@@ -353,9 +457,9 @@ class Trainer:
         logger.info(f"  num examples = {batcher.num_examples()}")
         total_loss, total_acc, count = 0.0, 0.0, 0.0
         start_time = time.time()
-        for i, batch in enumerate(batcher.epoch(0)):
+        for i, (dev_batch, _) in enumerate(self._eval_stream(batcher.epoch(0))):
             rng = jax.random.fold_in(self._eval_rng_base, i)
-            m = jax.device_get(self._eval_step(self.state, batch, rng))
+            m = jax.device_get(self._eval_step(self.state, dev_batch, rng))
             c = float(m["count"])
             total_loss += float(m["loss"]) * c
             total_acc += float(m["acc_count"])
@@ -387,17 +491,18 @@ class Trainer:
 
         for epoch, batches in self._epochs_with_skip(batcher):
             logger.info(f"-------------------- epoch-{epoch} --------------------")
-            for batch in batches:
-                self.state, m = self._train_step(self.state, batch)
-                self.global_step += 1
-                self._post_step()
+            for n, dev_batch, host_group in self._train_stream(batches):
+                prev = self.global_step
+                m = self._run_train_step(n, dev_batch)
                 for key in window:
                     window[key].append(m[key])
-                if self.global_step % self.args.logging_steps == 0:
+                if self._crossed(prev, self.args.logging_steps):
                     vals = jax.device_get(window)
-                    _log = {"window_rfd_loss": float(np.mean(vals["loss"])),
-                            "window_rfd_acc": float(np.mean(vals["acc"])),
-                            "window_pos_ratio": float(np.mean(vals["pos_ratio"])),
+                    flat = {k: np.concatenate([np.atleast_1d(x) for x in v])
+                            for k, v in vals.items()}
+                    _log = {"window_rfd_loss": float(np.mean(flat["loss"])),
+                            "window_rfd_acc": float(np.mean(flat["acc"])),
+                            "window_pos_ratio": float(np.mean(flat["pos_ratio"])),
                             "time_cost": time.time() - start_time}
                     logger.info(f"step = {self.global_step}, {_log}")
                     window = {"loss": [], "acc": [], "pos_ratio": []}
@@ -414,9 +519,9 @@ class Trainer:
         logger.info(f"  num examples = {batcher.num_examples()}")
         total_loss, total_acc, count = 0.0, 0.0, 0.0
         start_time = time.time()
-        for i, batch in enumerate(batcher.epoch(0)):
+        for i, (dev_batch, _) in enumerate(self._eval_stream(batcher.epoch(0))):
             rng = jax.random.fold_in(self._eval_rng_base, i)
-            m = jax.device_get(self._eval_step(self.state, batch, rng))
+            m = jax.device_get(self._eval_step(self.state, dev_batch, rng))
             c = float(m["count"])
             total_loss += float(m["loss"]) * c
             total_acc += float(m["acc"]) * c
