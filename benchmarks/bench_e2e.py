@@ -24,17 +24,16 @@ def main(steps_per_call=8, rows=1_500_000, batch=4096):
 
     rng = np.random.default_rng(0)
     f, v = 24, 1_000_000
-    X = rng.integers(10, v, (rows, f), dtype=np.int32)
-    Y = rng.integers(0, 2, rows).astype(np.float32)
+    x_all = rng.integers(10, v, (rows, f), dtype=np.int32)
+    y_all = rng.integers(0, 2, rows).astype(np.float32)
 
-    class DS:
-        X = {"train": X, "valid": X[:10000], "test": X[:10000]}
-        Y = {"train": Y, "valid": Y[:10000], "test": Y[:10000]}
-        feat_count = None
-        idx_low = idx_high = feat_num_per_field = None
+    from types import SimpleNamespace
 
-        def split_sizes(self):
-            return {k: len(val) for k, val in self.Y.items()}
+    ds = SimpleNamespace(
+        X={"train": x_all, "valid": x_all[:10000], "test": x_all[:10000]},
+        Y={"train": y_all, "valid": y_all[:10000], "test": y_all[:10000]},
+        feat_count=None, idx_low=None, idx_high=None, feat_num_per_field=None)
+    ds.split_sizes = lambda: {k: len(v_) for k, v_ in ds.Y.items()}
 
     cfg = Config(model_name="dcnv2", input_size=v, num_fields=f, embed_size=16,
                  hidden_size=1000, num_hidden_layers=3, hidden_act="relu",
@@ -49,7 +48,7 @@ def main(steps_per_call=8, rows=1_500_000, batch=4096):
         steps_per_call=steps_per_call)
 
     model = models.from_config(cfg)
-    trainer = Trainer(model, cfg, args, DS())
+    trainer = Trainer(model, cfg, args, ds)
     batcher = trainer.get_batcher("train", True)
     trainer._build_steps(len(batcher))
 

@@ -67,6 +67,11 @@ class Batcher:
         rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch]))
         order = rng.permutation(n) if self.shuffle else np.arange(n)
 
+        from map_tpu import native
+
+        x = self.X if self.X.dtype == np.int32 else self.X.astype(np.int32)
+        y = self.Y if self.Y.dtype == np.float32 else self.Y.astype(np.float32)
+
         num_batches = len(self)
         for b in range(num_batches):
             idx = order[b * bs:(b + 1) * bs]
@@ -75,14 +80,18 @@ class Batcher:
                 pad = np.zeros(bs - real, dtype=idx.dtype)  # pad with row 0, weight 0
                 idx = np.concatenate([idx, pad])
             batch = {
-                "input_ids": np.ascontiguousarray(self.X[idx], dtype=np.int32),
-                "labels": np.ascontiguousarray(self.Y[idx], dtype=np.float32),
+                "input_ids": native.gather_rows_i32(x, idx),
+                "labels": native.gather_f32(y, idx),
                 "weight": (np.arange(bs) < real).astype(np.float32),
             }
             if self.noise_rows_per_example > 0:
                 assert self.noise_source is not None
                 k = bs * self.noise_rows_per_example
                 sample_index = rng.integers(0, len(self.noise_source), size=k)
-                batch["noise_rows"] = np.ascontiguousarray(
-                    self.noise_source[sample_index], dtype=np.int32)
+                batch["noise_rows"] = native.gather_rows_i32(
+                    np.ascontiguousarray(self.noise_source, dtype=np.int32)
+                    if self.noise_source.dtype != np.int32 or
+                    not self.noise_source.flags.c_contiguous
+                    else self.noise_source,
+                    sample_index)
             yield batch

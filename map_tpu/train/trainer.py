@@ -337,6 +337,7 @@ class Trainer:
         self._stop_training = False
         tr_loss_window = []
         tr_labels, tr_probs, tr_weights = [], [], []
+        window_t0 = time.time()
 
         for epoch, batches in self._epochs_with_skip(batcher):
             logger.info(f"-------------------- epoch-{epoch} --------------------")
@@ -358,10 +359,14 @@ class Trainer:
                     labels = np.concatenate(tr_labels)
                     w = np.concatenate(tr_weights) > 0
                     window_auc = roc_auc(labels[w], probs[w])
+                    dt = time.time() - window_t0
                     _log = {"window_auc": window_auc,
-                            "window_loss": float(losses.mean())}
+                            "window_loss": float(losses.mean()),
+                            "examples_per_sec": round(w.sum() / max(dt, 1e-9)),
+                            "time_cost": round(dt, 3)}
                     logger.info(f"step = {self.global_step}, {_log}")
                     tr_loss_window, tr_labels, tr_probs, tr_weights = [], [], [], []
+                    window_t0 = time.time()
 
             self.eval()
             if self._stop_training:
