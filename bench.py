@@ -60,25 +60,25 @@ def main() -> None:
     state = ts.create_train_state(model, cfg, args, tx, jax.random.PRNGKey(0), batch)
     train_step, _ = ts.make_supervised_steps(model, cfg, args, tx,
                                              jax.random.PRNGKey(1))
-    spc = 8  # fused steps per dispatch, as the Trainer runs (steps_per_call)
-    multi_step = ts.make_multi_step(train_step, spc)
 
-    stacked = jax.device_put(
-        {k: np.stack([v] * spc) for k, v in batch.items()})
+    device_batch = jax.device_put(batch)
 
     # Warmup + compile. NOTE: on the axon-tunneled TPU, block_until_ready
     # returns early — a host value fetch is the only reliable barrier.
-    for _ in range(2):
-        state, metrics = multi_step(state, stacked)
-    float(metrics["loss"][-1])
+    # (The Trainer additionally fuses steps_per_call=8 steps per dispatch via
+    # lax.scan — see benchmarks/bench_e2e.py for the full-pipeline number —
+    # but that second program costs several extra compile minutes through the
+    # tunnel, so the driver-facing bench measures the single-step program.)
+    for _ in range(10):
+        state, metrics = train_step(state, device_batch)
+    float(metrics["loss"])
 
-    n_calls = 16
+    n_steps = 100
     t0 = time.perf_counter()
-    for _ in range(n_calls):
-        state, metrics = multi_step(state, stacked)
-    final_loss = float(metrics["loss"][-1])  # forces the dependency chain
+    for _ in range(n_steps):
+        state, metrics = train_step(state, device_batch)
+    final_loss = float(metrics["loss"])  # forces the whole dependency chain
     dt = time.perf_counter() - t0
-    n_steps = n_calls * spc
 
     examples_per_sec = batch_size * n_steps / dt
     print(json.dumps({
