@@ -32,6 +32,12 @@ from map_tpu.nn.layers import (
 )
 
 
+def _dtype(config: Any):
+    from map_tpu.nn.layers import resolve_dtype
+
+    return resolve_dtype(getattr(config, "compute_dtype", None))
+
+
 def _embeddings(config: Any, name: str = "embed") -> Embeddings:
     return Embeddings(
         input_size=config.input_size,
@@ -40,6 +46,7 @@ def _embeddings(config: Any, name: str = "embed") -> Embeddings:
         embed_norm=getattr(config, "embed_norm", False),
         layer_norm_eps=getattr(config, "layer_norm_eps", 1e-12),
         dropout_rate=getattr(config, "embed_dropout_rate", 0.0),
+        dtype=_dtype(config),
         name=name,
     )
 
@@ -50,6 +57,7 @@ def _mlp(config: Any, name: str = "dnn") -> MLPBlock:
         num_hidden_layers=config.num_hidden_layers,
         hidden_act=config.hidden_act,
         hidden_dropout_rate=config.hidden_dropout_rate,
+        dtype=_dtype(config),
         name=name,
     )
 
@@ -180,6 +188,7 @@ class DCNV2(CTRModel):
         self.embed = _embeddings(c)
         self.cross_net = CrossNetV2(num_cross_layers=c.num_cross_layers,
                                     use_pallas=getattr(c, "use_pallas", False),
+                                    dtype=_dtype(c),
                                     name="cross_net")
         self.parallel_dnn = _mlp(c, name="parallel_dnn") if c.num_hidden_layers > 0 else None
         if c.pretrain:

@@ -64,6 +64,9 @@ def get_lib():
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float)]
+        lib.map_tpu_build_alias.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
         return _lib
 
@@ -82,6 +85,23 @@ def gather_rows_i32(x: np.ndarray, idx: np.ndarray) -> np.ndarray:
         ctypes.c_int64(len(idx)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return out
+
+
+def build_alias(probs: np.ndarray):
+    """Walker alias table (prob float32[K], alias int32[K]); None if no lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    probs = np.ascontiguousarray(probs, dtype=np.float64)
+    k = len(probs)
+    out_prob = np.empty(k, np.float32)
+    out_alias = np.empty(k, np.int32)
+    lib.map_tpu_build_alias(
+        probs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int64(k),
+        out_prob.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_alias.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out_prob, out_alias
 
 
 def gather_f32(x: np.ndarray, idx: np.ndarray) -> np.ndarray:

@@ -68,4 +68,40 @@ void map_tpu_gather_f32(const float* x, const int64_t* idx, int64_t n_idx,
   for (int64_t i = 0; i < n_idx; ++i) out[i] = x[idx[i]];
 }
 
+// Walker alias-table construction (semantics of the reference
+// alias_multinomial.py:43-70). probs must sum to 1. O(K); the Python loop
+// takes minutes at CTR vocabulary sizes (millions of ids).
+void map_tpu_build_alias(const double* probs, int64_t k, float* out_prob,
+                         int32_t* out_alias) {
+  std::vector<double> scaled(k);
+  std::vector<int64_t> smaller, larger;
+  smaller.reserve(k);
+  larger.reserve(k);
+  for (int64_t i = 0; i < k; ++i) {
+    scaled[i] = probs[i] * static_cast<double>(k);
+    out_alias[i] = 0;
+    if (scaled[i] < 1.0) {
+      smaller.push_back(i);
+    } else {
+      larger.push_back(i);
+    }
+  }
+  while (!smaller.empty() && !larger.empty()) {
+    int64_t small = smaller.back();
+    smaller.pop_back();
+    int64_t large = larger.back();
+    larger.pop_back();
+    out_alias[small] = static_cast<int32_t>(large);
+    scaled[large] = (scaled[large] - 1.0) + scaled[small];
+    if (scaled[large] < 1.0) {
+      smaller.push_back(large);
+    } else {
+      larger.push_back(large);
+    }
+  }
+  for (int64_t i : smaller) scaled[i] = 1.0;
+  for (int64_t i : larger) scaled[i] = 1.0;
+  for (int64_t i = 0; i < k; ++i) out_prob[i] = static_cast<float>(scaled[i]);
+}
+
 }  // extern "C"

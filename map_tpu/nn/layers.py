@@ -39,11 +39,23 @@ from map_tpu.nn.init import (
 )
 
 
+def resolve_dtype(name):
+    """'float32' | 'bfloat16' | None -> jnp dtype (None = promote as-is)."""
+    if name is None or not isinstance(name, str):
+        return name
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
 class TorchDense(nn.Module):
-    """nn.Dense with torch-nn.Linear-parity init (U(±1/sqrt(fan_in)))."""
+    """nn.Dense with torch-nn.Linear-parity init (U(±1/sqrt(fan_in))).
+
+    `dtype` is the computation dtype (params stay float32; activations and the
+    matmul run in `dtype` — set bfloat16 via config.compute_dtype to halve
+    activation HBM traffic on TPU)."""
 
     features: int
     use_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -51,6 +63,7 @@ class TorchDense(nn.Module):
         return nn.Dense(
             self.features,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             kernel_init=linear_kernel_init,
             bias_init=linear_bias_init_for(fan_in),
             name="dense",
@@ -72,6 +85,7 @@ class Embeddings(nn.Module):
     embed_norm: bool = False
     layer_norm_eps: float = 1e-12
     dropout_rate: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, input_ids, train: bool = False):
@@ -83,6 +97,8 @@ class Embeddings(nn.Module):
         from map_tpu.ops.embedding import embedding_lookup
 
         emb = embedding_lookup(table, input_ids)
+        if self.dtype is not None:
+            emb = emb.astype(self.dtype)
         if self.embed_norm:
             emb = nn.LayerNorm(epsilon=self.layer_norm_eps, name="layer_norm")(emb)
         if self.dropout_rate > 0.0:
@@ -97,12 +113,13 @@ class MLPBlock(nn.Module):
     num_hidden_layers: int
     hidden_act: str = "relu"
     hidden_dropout_rate: float = 0.5
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         act = get_act(self.hidden_act)
         for i in range(self.num_hidden_layers):
-            x = TorchDense(self.hidden_size, name=f"layer_{i}")(x)
+            x = TorchDense(self.hidden_size, dtype=self.dtype, name=f"layer_{i}")(x)
             x = act(x)
             if self.hidden_dropout_rate > 0.0:
                 x = nn.Dropout(self.hidden_dropout_rate, deterministic=not train)(x)
@@ -119,6 +136,7 @@ class CrossNetV2(nn.Module):
 
     num_cross_layers: int
     use_pallas: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x0):
@@ -130,6 +148,10 @@ class CrossNetV2(nn.Module):
             biases.append(self.param(f"bias_{i}", linear_bias_init_for(d), (d,)))
         from map_tpu.ops.cross import cross_net_apply
 
+        if self.dtype is not None:
+            x0 = x0.astype(self.dtype)
+            kernels = [k.astype(self.dtype) for k in kernels]
+            biases = [b.astype(self.dtype) for b in biases]
         return cross_net_apply(x0, kernels, biases, use_pallas=self.use_pallas)
 
 

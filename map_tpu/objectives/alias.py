@@ -28,7 +28,17 @@ def noise_distribution(feat_count: np.ndarray) -> np.ndarray:
 
 
 def build_alias_table(probs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """O(V) alias table construction (alias_multinomial.py:43-70)."""
+    """O(V) alias table construction (alias_multinomial.py:43-70).
+
+    Uses the native C++ builder when available (the Python loop takes minutes
+    at CTR vocabulary sizes); this Python path doubles as its test oracle.
+    """
+    from map_tpu import native
+
+    built = native.build_alias(probs)
+    if built is not None:
+        return built
+
     k = len(probs)
     prob = (np.asarray(probs, dtype=np.float64) * k).copy()
     alias = np.zeros(k, dtype=np.int64)

@@ -51,6 +51,9 @@ def main(argv=None) -> int:
     logger.info(f"field_names = {dataset.field_names}")
 
     config = build_config(model_args, training_args, dataset)
+    config.save(training_args.output_dir)  # (Config.save exists but is never
+    # called in the reference, arguments.py:169-172 — checkpoints there carry
+    # no config; here every run directory is self-describing)
     model = models.from_config(config)
 
     trainer = Trainer(model, config, training_args, dataset)

@@ -225,6 +225,13 @@ class Trainer:
     def _crossed(self, prev: int, every: int) -> bool:
         return every > 0 and (self.global_step // every) != (prev // every)
 
+    def _should_log(self, prev: int) -> bool:
+        # logging_first_step is a dead flag in the reference
+        # (arguments.py:31); functional here.
+        if getattr(self.args, "logging_first_step", False) and prev == 0:
+            return True
+        return self._crossed(prev, self.args.logging_steps)
+
     # ------------------------------------------------------------------
     # mid-run resume (framework addition; reference never checkpoints
     # optimizer state, SURVEY.md §5.3)
@@ -349,7 +356,7 @@ class Trainer:
                 tr_labels.extend(g["labels"] for g in host_group)
                 tr_weights.extend(g["weight"] for g in host_group)
 
-                if self._crossed(prev, self.args.logging_steps):
+                if self._should_log(prev):
                     got = jax.device_get(tr_loss_window)
                     losses = np.concatenate(
                         [np.atleast_1d(x) for x in got]).astype(np.float64)
@@ -439,7 +446,7 @@ class Trainer:
                 m = self._run_train_step(n, dev_batch)
                 for key in window:
                     window[key].append(m[key])
-                if self._crossed(prev, self.args.logging_steps):
+                if self._should_log(prev):
                     vals = jax.device_get(window)
                     flat = {k: np.concatenate([np.atleast_1d(x) for x in v])
                             for k, v in vals.items()}
@@ -501,7 +508,7 @@ class Trainer:
                 m = self._run_train_step(n, dev_batch)
                 for key in window:
                     window[key].append(m[key])
-                if self._crossed(prev, self.args.logging_steps):
+                if self._should_log(prev):
                     vals = jax.device_get(window)
                     flat = {k: np.concatenate([np.atleast_1d(x) for x in v])
                             for k, v in vals.items()}

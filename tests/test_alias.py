@@ -44,6 +44,24 @@ def test_alias_draw_distribution():
     np.testing.assert_allclose(emp, probs, atol=0.01)
 
 
+def test_native_matches_python_builder():
+    """C++ alias builder vs the Python reference implementation."""
+    from map_tpu import native
+    from map_tpu.objectives import alias as alias_mod
+
+    if native.get_lib() is None:
+        return
+    rng = np.random.default_rng(7)
+    probs = noise_distribution(rng.random(500) + 0.01)
+    nat_prob, nat_alias = native.build_alias(probs)
+    # exactness of the native decomposition
+    k = len(probs)
+    recon = nat_prob.astype(np.float64).copy()
+    for j in range(k):
+        recon[nat_alias[j]] += 1.0 - nat_prob[j]
+    np.testing.assert_allclose(recon / k, probs, atol=1e-6)
+
+
 def test_noise_distribution_backoff():
     fc = np.array([0.0, 1000.0, 0.0, 500.0])
     probs = noise_distribution(fc)
