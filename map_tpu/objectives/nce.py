@@ -64,11 +64,17 @@ class IndexLinearDecoder(nn.Module):
         self.bias = self.param("bias", bias_init, (self.input_size,))
 
     def __call__(self, inputs: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
-        """inputs (B, M, E), indices (B, M, C) -> logits (B, M, C)."""
+        """inputs (B, M, E), indices (B, M, C) -> logits (B, M, C).
+
+        The candidate count here is B*M*(1+k) ~ 7.6x the input-table lookup;
+        XLA's serialized scatter backward costs >100 ms/step at the canonical
+        config, so this gather ALWAYS uses the Pallas tiled scatter-add
+        backward (gather_rows), including the bias column.
+        """
         from map_tpu.ops.embedding import embedding_lookup
 
-        rows = embedding_lookup(self.emb, indices)       # (B, M, C, E)
-        b = jnp.take(self.bias, indices)                 # (B, M, C)
+        rows = embedding_lookup(self.emb, indices, fast_grad=True)
+        b = embedding_lookup(self.bias[:, None], indices, fast_grad=True)[..., 0]
         return jnp.einsum("bme,bmce->bmc", inputs, rows) + b
 
     def full_scores(self, inputs: jnp.ndarray) -> jnp.ndarray:

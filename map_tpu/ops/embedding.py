@@ -64,7 +64,7 @@ def embedding_lookup(table: jnp.ndarray, ids: jnp.ndarray,
         return pallas_embedding_lookup(table, ids)
     if fast_grad is None:
         fast_grad = FAST_GRAD_ENABLED
-    if fast_grad and table.shape[1] >= 8:
+    if fast_grad:
         return gather_rows(table, ids)
     return jnp.take(table, ids, axis=0)
 

@@ -50,6 +50,10 @@ def scatter_add(ids: jnp.ndarray, grads: jnp.ndarray, vocab_size: int,
     if (not _on_tpu() and not interpret) or flat_ids.shape[0] < CHUNK \
             or vocab_size < ROWS_PER_TILE:
         return jax.ops.segment_sum(flat_g, flat_ids, num_segments=vocab_size)
+    e = flat_g.shape[-1]
+    if e < 8:  # lane-pad narrow tables (e.g. the NCE bias column, E=1)
+        flat_g = jnp.pad(flat_g, ((0, 0), (0, 8 - e)))
+        return _scatter_add_pallas(flat_ids, flat_g, vocab_size, interpret)[:, :e]
     return _scatter_add_pallas(flat_ids, flat_g, vocab_size, interpret)
 
 
