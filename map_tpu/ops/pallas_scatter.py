@@ -76,43 +76,71 @@ def _scatter_add_pallas(ids: jnp.ndarray, g: jnp.ndarray, vocab_size: int,
     tile_bounds = jnp.arange(num_tiles + 1, dtype=jnp.int32) * ROWS_PER_TILE
     starts = jnp.searchsorted(ids_sorted[:n], tile_bounds).astype(jnp.int32)
 
-    def kernel(starts_ref, ids_ref, g_ref, out_ref):
+    def kernel(starts_ref, ids_hbm, g_hbm, out_ref, ids_buf, g_buf, sems):
+        # The sorted update stream stays in HBM (it can be hundreds of MB for
+        # the MFP candidate set); each tile streams its 128-update chunks
+        # through a double-buffered VMEM scratch.
         t = pl.program_id(0)
         lo = t * ROWS_PER_TILE
         start = starts_ref[t]
         end = starts_ref[t + 1]
-        # 128-aligned chunk window covering [start, end)
-        c0 = start // CHUNK
+        c0 = start // CHUNK  # 128-aligned window covering [start, end)
         c1 = pl.cdiv(end, CHUNK)
+        num_chunks = jnp.maximum(c1 - c0, 0)
+
+        def dma_ids(slot, c):
+            return pltpu.make_async_copy(ids_hbm.at[c], ids_buf.at[slot],
+                                         sems.at[slot, 0])
+
+        def dma_g(slot, c):
+            return pltpu.make_async_copy(
+                g_hbm.at[pl.ds(c * CHUNK, CHUNK), :], g_buf.at[slot],
+                sems.at[slot, 1])
+
+        @pl.when(num_chunks > 0)
+        def _():
+            dma_ids(0, c0).start()
+            dma_g(0, c0).start()
 
         def body(i, acc):
+            slot = jax.lax.rem(i, 2)
             c = c0 + i
-            idx = ids_ref[c, :]  # (CHUNK,) aligned read, dynamic sublane index
+
+            @pl.when(i + 1 < num_chunks)
+            def _():
+                nxt = jax.lax.rem(i + 1, 2)
+                dma_ids(nxt, c + 1).start()
+                dma_g(nxt, c + 1).start()
+
+            dma_ids(slot, c).wait()
+            dma_g(slot, c).wait()
+            idx = ids_buf[slot]
             inside = (idx >= lo) & (idx < lo + ROWS_PER_TILE)
             local = jnp.where(inside, idx - lo, -1)
             rows = jax.lax.broadcasted_iota(jnp.int32, (ROWS_PER_TILE, CHUNK), 0)
             onehot = (rows == local[None, :]).astype(jnp.float32)
-            gc = g_ref[pl.ds(c * CHUNK, CHUNK), :]
             # exact f32 accumulation: this is a gradient, keep full precision
-            return acc + jnp.dot(onehot, gc, preferred_element_type=jnp.float32,
+            return acc + jnp.dot(onehot, g_buf[slot],
+                                 preferred_element_type=jnp.float32,
                                  precision=jax.lax.Precision.HIGHEST)
 
         acc0 = jnp.zeros((ROWS_PER_TILE, e), jnp.float32)
-        num_chunks = jnp.maximum(c1 - c0, 0)
         out_ref[:] = jax.lax.fori_loop(0, num_chunks, body, acc0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[
-            # whole sorted streams resident in VMEM across the grid
-            pl.BlockSpec(ids2d.shape, lambda t, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(g_sorted.shape, lambda t, s: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # ids2d stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # g_sorted stays in HBM
         ],
         out_specs=pl.BlockSpec((ROWS_PER_TILE, e), lambda t, s: (t, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, CHUNK), jnp.int32),
+            pltpu.VMEM((2, CHUNK, e), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
     )
     out = pl.pallas_call(
         kernel,
