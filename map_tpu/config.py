@@ -50,6 +50,10 @@ class TrainingArguments:
     RFD_replace: str = "Unigram"      # Unigram | Uniform | Whole-Uniform | Whole-Unigram
     finetune: bool = False
     pretrained_model_path: Optional[str] = None
+    # North-star upgrade: MFP noise drawn from the masked field's own id block
+    # (field-conditional unigram) instead of the reference's global unigram
+    # (SURVEY.md §2.4 NOTE). Default off = reference parity.
+    pt_per_field_noise: bool = False
 
     # Resume / observability (no working reference counterpart: the reference
     # never checkpoints optimizer state and its save_steps flag is dead,

@@ -63,9 +63,11 @@ class CTRDataset:
             np.save(path, self.feat_count)
 
     def _count_feat_per_field(self, feat_ids: np.ndarray) -> None:
-        """Per-field id ranges for RFD-Uniform sampling (dataset.py:64-75)."""
-        if getattr(self.args, "pt_type", None) == "RFD" and \
-                getattr(self.args, "RFD_replace", None) == "Uniform":
+        """Per-field id ranges for RFD-Uniform sampling (dataset.py:64-75)
+        and for per-field MFP candidate sampling (north-star upgrade)."""
+        if (getattr(self.args, "pt_type", None) == "RFD" and
+                getattr(self.args, "RFD_replace", None) == "Uniform") or \
+                getattr(self.args, "pt_per_field_noise", False):
             self.idx_low = feat_ids.min(axis=0).astype(np.int32)
             self.idx_high = (feat_ids.max(axis=0) + 1).astype(np.int32)
             self.feat_num_per_field = self.idx_high - self.idx_low

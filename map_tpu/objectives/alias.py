@@ -82,3 +82,59 @@ def alias_draw(key: jax.Array, prob: jnp.ndarray, alias: jnp.ndarray,
     kk = jax.random.randint(k_bucket, shape, 0, v)
     keep = jax.random.uniform(k_bern, shape) < jnp.take(prob, kk)
     return jnp.where(keep, kk, jnp.take(alias, kk))
+
+
+# ---------------------------------------------------------------------------
+# Per-field candidate sampling — the north-star upgrade over the reference's
+# GLOBAL unigram noise (SURVEY.md §2.4 NOTE: `get_noise` has no field
+# conditioning). Noise for a masked position is drawn from the unigram
+# distribution of the SAME FIELD's id block, which makes the MFP contrast
+# field-consistent (negatives are plausible values of that field).
+#
+# Layout: one flat alias table over the whole vocabulary where each field's
+# contiguous id block [idx_low_f, idx_high_f) is its own alias table, with
+# redirects stored as GLOBAL ids — O(V) memory, no per-field padding.
+# ---------------------------------------------------------------------------
+
+def build_per_field_alias(feat_count: np.ndarray, idx_low: np.ndarray,
+                          idx_high: np.ndarray):
+    """Returns (prob_all (V,), alias_all (V,) global ids, logq (V,),
+    lnz (V,)) for field-conditional sampling.
+
+    logq[i] = log q_{field(i)}(i) (renormalized-within-field with backoff),
+    lnz[i] = log(field_size) — the per-field 'auto' norm_term analog
+    (nce_loss.py:69-72 applies log(V) globally).
+    """
+    v = len(feat_count)
+    prob_all = np.ones(v, np.float32)
+    alias_all = np.arange(v, dtype=np.int32)
+    logq = np.full(v, np.log(BACKOFF_PROB), np.float32)
+    lnz = np.zeros(v, np.float32)
+    for lo, hi in zip(np.asarray(idx_low), np.asarray(idx_high)):
+        lo, hi = int(lo), int(hi)
+        probs_f = noise_distribution(feat_count[lo:hi])
+        p, a = build_alias_table(probs_f)
+        prob_all[lo:hi] = p
+        alias_all[lo:hi] = a.astype(np.int32) + lo  # localize -> global ids
+        logq[lo:hi] = np.log(probs_f).astype(np.float32)
+        lnz[lo:hi] = np.log(hi - lo)
+    return prob_all, alias_all, logq, lnz
+
+
+def per_field_alias_draw(key: jax.Array, prob_all: jnp.ndarray,
+                         alias_all: jnp.ndarray, idx_low: jnp.ndarray,
+                         field_sizes: jnp.ndarray, fields: jnp.ndarray,
+                         num_samples: int) -> jnp.ndarray:
+    """Draw `num_samples` ids per position from each position's field block.
+
+    fields (B, M) int = the masked field index of each position. Returns
+    (B, M, num_samples) global ids.
+    """
+    k_bucket, k_bern = jax.random.split(key)
+    lo = jnp.take(idx_low, fields)[..., None]          # (B, M, 1)
+    size = jnp.take(field_sizes, fields)[..., None]
+    shape = (*fields.shape, num_samples)
+    u = jax.random.uniform(k_bucket, shape)
+    kk = lo + jnp.floor(u * size).astype(jnp.int32)     # global bucket id
+    keep = jax.random.uniform(k_bern, shape) < jnp.take(prob_all, kk)
+    return jnp.where(keep, kk, jnp.take(alias_all, kk))

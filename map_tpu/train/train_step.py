@@ -141,30 +141,53 @@ def make_supervised_steps(model, config, args, tx, base_rng):
 # ---------------------------------------------------------------------------
 
 def make_mfp_steps(model, config, args, tx, base_rng,
-                   alias_prob, alias_alias, logprob_noise):
+                   alias_prob, alias_alias, logprob_noise,
+                   per_field=None):
+    """per_field: optional (prob_all, alias_all, idx_low, field_sizes, lnz)
+    enabling field-conditional candidate sampling (north-star upgrade);
+    None = reference-parity global unigram noise."""
     mask_num = corruption.mask_num_of(config.num_fields, args.mask_ratio)
     k = int(config.pt_neg_num)
-    norm_term = float(config.norm_term)
     loss_type = getattr(config, "nce_loss_type", "nce")
     alias_prob = jnp.asarray(alias_prob)
     alias_alias = jnp.asarray(alias_alias)
     logprob_noise = jnp.asarray(logprob_noise, jnp.float32)
+    if per_field is not None:
+        from map_tpu.objectives.alias import per_field_alias_draw
+
+        pf_prob, pf_alias, pf_lo, pf_sizes, pf_lnz = (jnp.asarray(x)
+                                                      for x in per_field)
+        norm_term = None  # per-position, derived from the target's field
+    else:
+        norm_term = float(config.norm_term)
 
     def _corrupt_and_sample(rng, batch):
         k_mask, k_noise = jax.random.split(rng)
         corrupted, labels, masked_index = corruption.mfp_corrupt(
             k_mask, batch["input_ids"], mask_num, args.sampling_method)
         b = corrupted.shape[0]
-        noise = alias_draw(k_noise, alias_prob, alias_alias, (b, mask_num, k))
+        if per_field is not None:
+            from map_tpu.objectives.alias import per_field_alias_draw
+
+            noise = per_field_alias_draw(k_noise, pf_prob, pf_alias, pf_lo,
+                                         pf_sizes, masked_index, k)
+        else:
+            noise = alias_draw(k_noise, alias_prob, alias_alias,
+                               (b, mask_num, k))
         candidates = jnp.concatenate([labels[..., None], noise], axis=-1)
         return corrupted, masked_index, candidates
 
     def _loss_from_logits(cand_logits, candidates, weight):
         noise_logprobs = jnp.take(logprob_noise, candidates)
+        if per_field is not None:
+            # per-position lnZ = log(field size) of the target's field
+            norm = jnp.take(pf_lnz, candidates[:, :, 0])[..., None]
+        else:
+            norm = norm_term
         if loss_type == "nce":
-            per_pos = nce_loss(cand_logits, noise_logprobs, norm_term, k)
+            per_pos = nce_loss(cand_logits, noise_logprobs, norm, k)
         elif loss_type == "sampled":
-            per_pos = sampled_softmax_loss(cand_logits, noise_logprobs, norm_term)
+            per_pos = sampled_softmax_loss(cand_logits, noise_logprobs, norm)
         else:
             raise NotImplementedError(loss_type)
         denom = jnp.maximum(weight.sum(), 1.0) * mask_num

@@ -56,10 +56,30 @@ class Trainer:
 
         if getattr(self.config, "pretrain", False) and self.config.pt_type == "MFP":
             probs = noise_distribution(self.config.feat_count)
-            self.config.logprob_noise = np.log(probs).astype(np.float32)
-            self.config.norm_term = float(np.log(len(probs)))  # lnZ auto (nce_loss.py:69-72)
-            self._alias_prob, self._alias_alias = load_or_build_alias(
-                self.args.data_dir, probs)
+            self._per_field = None
+            if getattr(self.args, "pt_per_field_noise", False):
+                # north-star upgrade: field-conditional noise
+                from map_tpu.objectives.alias import build_per_field_alias
+
+                assert self.config.idx_low is not None, \
+                    "per-field sampling needs per-field id ranges"
+                pf_prob, pf_alias, logq, lnz = build_per_field_alias(
+                    self.config.feat_count, self.config.idx_low,
+                    self.config.idx_high)
+                sizes = (np.asarray(self.config.idx_high) -
+                         np.asarray(self.config.idx_low)).astype(np.int32)
+                self._per_field = (pf_prob, pf_alias,
+                                   np.asarray(self.config.idx_low, np.int32),
+                                   sizes, lnz)
+                self.config.logprob_noise = logq       # per-field log q
+                self.config.norm_term = lnz            # per-id lnZ vector
+                self._alias_prob = pf_prob             # unused in this mode
+                self._alias_alias = pf_alias
+            else:
+                self.config.logprob_noise = np.log(probs).astype(np.float32)
+                self.config.norm_term = float(np.log(len(probs)))  # lnZ auto (nce_loss.py:69-72)
+                self._alias_prob, self._alias_alias = load_or_build_alias(
+                    self.args.data_dir, probs)
 
     # ------------------------------------------------------------------
     # plumbing
@@ -116,7 +136,8 @@ class Trainer:
             if self.config.pt_type == "MFP":
                 self._train_step, self._eval_step = ts.make_mfp_steps(
                     self.model, self.config, self.args, tx, step_rng,
-                    self._alias_prob, self._alias_alias, self.config.logprob_noise)
+                    self._alias_prob, self._alias_alias,
+                    self.config.logprob_noise, per_field=self._per_field)
             elif self.config.pt_type == "RFD":
                 self._train_step, self._eval_step = ts.make_rfd_steps(
                     self.model, self.config, self.args, tx, step_rng)
