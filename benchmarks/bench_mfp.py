@@ -11,7 +11,7 @@ import numpy as np
 import jax
 
 
-def run_variant(name, fast_grad):
+def run_variant(name, fast_grad, shared_noise=False):
     from map_tpu import models
     from map_tpu.config import Config, TrainingArguments
     from map_tpu.objectives.alias import build_alias_table, noise_distribution
@@ -35,7 +35,8 @@ def run_variant(name, fast_grad):
                              weight_decay=0.05, lr_sched="const",
                              warmup_ratio=0.0, max_grad_norm=0.0,
                              mask_ratio=0.3, sampling_method="randint",
-                             pretrain=True, pt_type="MFP")
+                             pretrain=True, pt_type="MFP",
+                             pt_shared_noise=shared_noise)
     model = models.from_config(cfg)
     tx, _ = build_optimizer(args, 10_000, 0)
     batch = jax.device_put({
@@ -66,6 +67,8 @@ def main():
         run_variant("xla-scatter", False)
     if which in ("pallas", "both"):
         run_variant("pallas-scatter", True)
+    if which == "shared":
+        run_variant("shared-noise", False, shared_noise=True)
 
 
 if __name__ == "__main__":

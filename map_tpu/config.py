@@ -54,6 +54,10 @@ class TrainingArguments:
     # (field-conditional unigram) instead of the reference's global unigram
     # (SURVEY.md §2.4 NOTE). Default off = reference parity.
     pt_per_field_noise: bool = False
+    # Reference per_word=False variant (index_linear.py:108-143): ONE noise set
+    # shared across the batch. The noise side becomes a dense matmul and the
+    # decoder backward scatter shrinks ~(1+k)x — the fast setting on TPU.
+    pt_shared_noise: bool = False
 
     # Resume / observability (no working reference counterpart: the reference
     # never checkpoints optimizer state and its save_steps flag is dead,

@@ -60,6 +60,20 @@ class CTRModel(nn.Module):
         selected = jnp.take_along_axis(enc, masked_index[..., None], axis=1)
         return self.mfp_decoder(selected, candidates)
 
+    def mfp_shared_noise_logits(self, input_ids: jnp.ndarray,
+                                masked_index: jnp.ndarray,
+                                target_idx: jnp.ndarray,
+                                noise_idx: jnp.ndarray,
+                                train: bool = False) -> jnp.ndarray:
+        """Batched per_word=False scoring (reference index_linear.py:108-143):
+        one noise set shared across the batch. Returns (B, M, 1+k)."""
+        c = self.config
+        final_vec = self.backbone(input_ids, train)
+        b = final_vec.shape[0]
+        enc = self.feat_encoder(final_vec).reshape(b, c.num_fields, c.proj_size)
+        selected = jnp.take_along_axis(enc, masked_index[..., None], axis=1)
+        return self.mfp_decoder.shared_noise_logits(selected, target_idx, noise_idx)
+
     def mfp_full_scores(self, input_ids: jnp.ndarray, masked_index: jnp.ndarray,
                         train: bool = False) -> jnp.ndarray:
         """Exact scores over the full vocabulary for 'full' CE mode

@@ -77,6 +77,27 @@ class IndexLinearDecoder(nn.Module):
         b = embedding_lookup(self.bias[:, None], indices, fast_grad=True)[..., 0]
         return jnp.einsum("bme,bmce->bmc", inputs, rows) + b
 
+    def shared_noise_logits(self, inputs: jnp.ndarray, target_idx: jnp.ndarray,
+                            noise_idx: jnp.ndarray) -> jnp.ndarray:
+        """Batched variant: ONE noise set shared across the batch
+        (reference per_word=False path, index_linear.py:108-143).
+
+        inputs (B, M, E), target_idx (B, M), noise_idx (k,) ->
+        logits (B, M, 1+k). The noise side becomes a dense (B*M, E) @ (E, k)
+        matmul and the backward scatter shrinks from B*M*(1+k) rows to B*M
+        target rows + k noise rows — the fast configuration on TPU.
+        """
+        from map_tpu.ops.embedding import embedding_lookup
+
+        t_rows = embedding_lookup(self.emb, target_idx, fast_grad=True)  # (B,M,E)
+        t_bias = embedding_lookup(self.bias[:, None], target_idx,
+                                  fast_grad=True)[..., 0]
+        target_score = jnp.einsum("bme,bme->bm", inputs, t_rows) + t_bias
+        n_rows = jnp.take(self.emb, noise_idx, axis=0)                   # (k,E)
+        n_bias = jnp.take(self.bias, noise_idx)                          # (k,)
+        noise_score = jnp.einsum("bme,ke->bmk", inputs, n_rows) + n_bias
+        return jnp.concatenate([target_score[..., None], noise_score], axis=-1)
+
     def full_scores(self, inputs: jnp.ndarray) -> jnp.ndarray:
         """Exact scores over the whole vocabulary (index_linear.py:145-151)."""
         return jnp.einsum("bme,ve->bmv", inputs, self.emb) + self.bias

@@ -76,7 +76,9 @@ def _scatter_add_pallas(ids: jnp.ndarray, g: jnp.ndarray, vocab_size: int,
     # pad with a sentinel beyond every tile so padded lanes never match
     ids_sorted = jnp.pad(ids[order], (0, n_pad - n), constant_values=v_pad)
     g_sorted = jnp.pad(g[order], ((0, n_pad - n), (0, 0)))
-    ids2d = ids_sorted.reshape(n_chunks, CHUNK)
+    # (n_chunks, 1, CHUNK): block (1, 1, CHUNK) satisfies the TPU tiling rule
+    # (sublane dim equals the full array dim).
+    ids3d = ids_sorted.reshape(n_chunks, 1, CHUNK)
 
     # ---- host-side (XLA) pair-list construction -------------------------
     tile_bounds = jnp.arange(num_tiles + 1, dtype=jnp.int32) * ROWS_PER_TILE
@@ -106,7 +108,7 @@ def _scatter_add_pallas(ids: jnp.ndarray, g: jnp.ndarray, vocab_size: int,
 
         @pl.when(valid_ref[p] == 1)
         def _():
-            idx = ids_ref[0, :]
+            idx = ids_ref[0, 0, :]
             inside = (idx >= lo) & (idx < lo + ROWS_PER_TILE)
             local = jnp.where(inside, idx - lo, -1)
             rows = jax.lax.broadcasted_iota(jnp.int32,
@@ -121,7 +123,7 @@ def _scatter_add_pallas(ids: jnp.ndarray, g: jnp.ndarray, vocab_size: int,
         num_scalar_prefetch=4,  # pair_tile, pair_chunk, pair_first, pair_valid
         grid=(num_pairs,),
         in_specs=[
-            pl.BlockSpec((1, CHUNK), lambda p, t, c, f, v: (c[p], 0),
+            pl.BlockSpec((1, 1, CHUNK), lambda p, t, c, f, v: (c[p], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((CHUNK, e), lambda p, t, c, f, v: (c[p], 0),
                          memory_space=pltpu.VMEM),
@@ -140,5 +142,5 @@ def _scatter_add_pallas(ids: jnp.ndarray, g: jnp.ndarray, vocab_size: int,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(pair_tile, pair_chunk, pair_first, pair_valid, ids2d, g_sorted)
+    )(pair_tile, pair_chunk, pair_first, pair_valid, ids3d, g_sorted)
     return out[:vocab_size]

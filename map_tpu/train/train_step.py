@@ -218,9 +218,54 @@ def make_mfp_steps(model, config, args, tx, base_rng,
         acc_count = jnp.sum(hit * weight[:, None])
         return loss, acc_count, new_bs
 
+    shared_noise = bool(getattr(args, "pt_shared_noise", False))
+    if shared_noise:
+        assert per_field is None, \
+            "pt_shared_noise and pt_per_field_noise are mutually exclusive"
+
+    def _shared_forward(state, params, batch, rng, train):
+        """per_word=False: one k-noise set per step (nce_loss.py:152-153)."""
+        k_mask, k_noise, k_drop = jax.random.split(rng, 3)
+        corrupted, labels, masked_index = corruption.mfp_corrupt(
+            k_mask, batch["input_ids"], mask_num, args.sampling_method)
+        noise = alias_draw(k_noise, alias_prob, alias_alias, (k,))
+        variables = {"params": params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        kwargs = dict(method=model.mfp_shared_noise_logits, train=train)
+        if train:
+            kwargs["rngs"] = {"dropout": k_drop}
+        if state.batch_stats and train:
+            logits, mutated = model.apply(variables, corrupted, masked_index,
+                                          labels, noise,
+                                          mutable=["batch_stats"], **kwargs)
+            new_bs = mutated["batch_stats"]
+        else:
+            logits = model.apply(variables, corrupted, masked_index, labels,
+                                 noise, **kwargs)
+            new_bs = state.batch_stats
+        b = corrupted.shape[0]
+        noise_bc = jnp.broadcast_to(noise[None, None, :], (b, mask_num, k))
+        candidates = jnp.concatenate([labels[..., None], noise_bc], axis=-1)
+        loss = _loss_from_logits(logits, candidates, batch["weight"])
+        acc_count = mfp_accuracy_count(logits, batch["weight"])
+        return loss, acc_count, new_bs
+
     def train_step(state: TrainState, batch):
         rng = jax.random.fold_in(base_rng, state.step)
         k_corrupt, k_drop = jax.random.split(rng)
+        if shared_noise:
+            def loss_fn(params):
+                loss, acc_count, new_bs = _shared_forward(
+                    state, params, batch, rng, True)
+                return loss, (acc_count, new_bs)
+
+            (loss, (acc_count, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            new_state = _update(tx, state, grads, new_bs)
+            count = batch["weight"].sum() * mask_num
+            return new_state, {"loss": loss, "count": count,
+                               "acc_count": acc_count}
         if loss_type == "full":
             k_mask, _ = jax.random.split(k_corrupt)
             corrupted, labels, masked_index = corruption.mfp_corrupt(
@@ -256,6 +301,11 @@ def make_mfp_steps(model, config, args, tx, base_rng,
         return new_state, {"loss": loss, "count": count, "acc_count": acc_count}
 
     def eval_step(state: TrainState, batch, rng):
+        if shared_noise:
+            loss, acc_count, _ = _shared_forward(state, state.params, batch,
+                                                 rng, False)
+            count = batch["weight"].sum() * mask_num
+            return {"loss": loss, "count": count, "acc_count": acc_count}
         if loss_type == "full":
             corrupted, labels, masked_index = corruption.mfp_corrupt(
                 rng, batch["input_ids"], mask_num, args.sampling_method)
