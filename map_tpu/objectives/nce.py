@@ -66,15 +66,17 @@ class IndexLinearDecoder(nn.Module):
     def __call__(self, inputs: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
         """inputs (B, M, E), indices (B, M, C) -> logits (B, M, C).
 
-        The candidate count here is B*M*(1+k) ~ 7.6x the input-table lookup;
-        XLA's serialized scatter backward costs >100 ms/step at the canonical
-        config, so this gather ALWAYS uses the Pallas tiled scatter-add
-        backward (gather_rows), including the bias column.
+        NOTE: the candidate count here is B*M*(1+k) ~ 7.6x the input-table
+        lookup; XLA's serialized scatter backward makes this path ~162 ms per
+        canonical batch on v5e (PERFORMANCE.md). Use --pt_shared_noise (the
+        reference's per_word=False variant) for the fast configuration; the
+        Pallas scatter backward (ops.embedding.FAST_GRAD_ENABLED) remains
+        opt-in while the toolchain's Mosaic compile of it is unstable.
         """
         from map_tpu.ops.embedding import embedding_lookup
 
-        rows = embedding_lookup(self.emb, indices, fast_grad=True)
-        b = embedding_lookup(self.bias[:, None], indices, fast_grad=True)[..., 0]
+        rows = embedding_lookup(self.emb, indices)
+        b = embedding_lookup(self.bias[:, None], indices)[..., 0]
         return jnp.einsum("bme,bmce->bmc", inputs, rows) + b
 
     def shared_noise_logits(self, inputs: jnp.ndarray, target_idx: jnp.ndarray,
@@ -89,9 +91,8 @@ class IndexLinearDecoder(nn.Module):
         """
         from map_tpu.ops.embedding import embedding_lookup
 
-        t_rows = embedding_lookup(self.emb, target_idx, fast_grad=True)  # (B,M,E)
-        t_bias = embedding_lookup(self.bias[:, None], target_idx,
-                                  fast_grad=True)[..., 0]
+        t_rows = embedding_lookup(self.emb, target_idx)  # (B, M, E)
+        t_bias = embedding_lookup(self.bias[:, None], target_idx)[..., 0]
         target_score = jnp.einsum("bme,bme->bm", inputs, t_rows) + t_bias
         n_rows = jnp.take(self.emb, noise_idx, axis=0)                   # (k,E)
         n_bias = jnp.take(self.bias, noise_idx)                          # (k,)
