@@ -32,7 +32,8 @@ def main(argv=None) -> int:
         import os
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                                    f" --xla_force_host_platform_device_count={training_args.mock_devices}")
-        os.environ["JAX_PLATFORMS"] = "cpu"
+        # the axon TPU plugin ignores the JAX_PLATFORMS env var; use config
+        jax.config.update("jax_platforms", "cpu")
 
     if job_already_finished(training_args.output_dir):
         print("job already finished, quit")
