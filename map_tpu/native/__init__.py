@@ -20,7 +20,7 @@ logger = logging.getLogger(__name__)
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "batcher.cpp")
-_LIB_PATH = os.path.join(_HERE, "_batcher.so")
+_LIB_PATH = os.path.join(_HERE, "libmap_tpu_native.so")
 
 _lib = None
 _lib_lock = threading.Lock()
