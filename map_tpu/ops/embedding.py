@@ -57,11 +57,26 @@ FAST_GRAD_ENABLED = False
 def embedding_lookup(table: jnp.ndarray, ids: jnp.ndarray,
                      use_pallas: bool = False,
                      fast_grad: bool = None) -> jnp.ndarray:
-    """Gather rows: table (V, E), ids (...,) int -> (..., E)."""
+    """Gather rows: table (V, E), ids (...,) int -> (..., E).
+
+    When a table mesh is active (map_tpu.parallel.context) and the gather is
+    batch-leading, the lookup routes through the shard_map masked-gather+psum
+    exchange so row-sharded tables are read (and their gradients scattered)
+    strictly shard-locally over the 'model' axis.
+    """
     if use_pallas:
         from map_tpu.ops.pallas_embedding import pallas_embedding_lookup
 
         return pallas_embedding_lookup(table, ids)
+    from map_tpu.parallel.context import table_mesh
+    from map_tpu.parallel.mesh import MODEL_AXIS
+
+    mesh = table_mesh()
+    if (mesh is not None and ids.ndim >= 2
+            and table.shape[0] % mesh.shape[MODEL_AXIS] == 0):
+        from map_tpu.parallel.embedding import sharded_embedding_lookup
+
+        return sharded_embedding_lookup(table, ids, mesh)
     if fast_grad is None:
         fast_grad = FAST_GRAD_ENABLED
     if fast_grad:

@@ -42,22 +42,38 @@ def _path_keys(path) -> tuple:
     return tuple(keys)
 
 
-def leaf_pspec(path, leaf, table_sharding: str = "rows") -> P:
+def leaf_pspec(path, leaf, table_sharding: str = "rows",
+               num_model_shards: int = 1) -> P:
     if table_sharding == "replicated":
         return P()
     keys = _path_keys(path)
     leaf_name = keys[-1] if keys else ""
-    if leaf_name in _TABLE_LEAVES and getattr(leaf, "ndim", 0) == 2:
-        return P(MODEL_AXIS, None)
-    if leaf_name == "weight" and "lr_layer" in keys and getattr(leaf, "ndim", 0) == 2:
+    is_table = (
+        (leaf_name in _TABLE_LEAVES and getattr(leaf, "ndim", 0) == 2)
+        or (leaf_name == "weight" and "lr_layer" in keys
+            and getattr(leaf, "ndim", 0) == 2))
+    if is_table:
+        rows = leaf.shape[0]
+        if num_model_shards > 1 and rows % num_model_shards != 0:
+            # A vocabulary not divisible by the shard count cannot row-shard
+            # evenly; keep this table replicated (the lookup routing applies
+            # the same guard and falls back to a plain gather).
+            import logging
+
+            logging.getLogger(__name__).warning(
+                f"table {'/'.join(keys)} rows={rows} not divisible by "
+                f"num_model_shards={num_model_shards}; keeping it replicated")
+            return P()
         return P(MODEL_AXIS, None)
     return P()
 
 
 def state_shardings(state: Any, mesh: Mesh, table_sharding: str = "rows") -> Any:
     """NamedSharding pytree for a TrainState (params + opt moments + stats)."""
+    num_model = int(mesh.shape.get(MODEL_AXIS, 1))
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, leaf_pspec(path, leaf, table_sharding)),
+        lambda path, leaf: NamedSharding(
+            mesh, leaf_pspec(path, leaf, table_sharding, num_model)),
         state)
 
 

@@ -121,6 +121,9 @@ class Trainer:
         # table_sharding='rows'); XLA inserts the gradient all-reduce over
         # 'data' (replaces the reference's vestigial DDP, SURVEY.md §2.7).
         self.mesh = None
+        from map_tpu.parallel.context import set_table_mesh
+
+        set_table_mesh(None)
         if jax.device_count() > 1:
             from map_tpu.parallel import sharding as sh
             from map_tpu.parallel.mesh import mesh_from_args
@@ -131,6 +134,15 @@ class Trainer:
                 mode = "rows" if self.args.num_model_shards > 1 else "replicated"
             self._table_mode = mode
             self.state = sh.shard_state(self.state, self.mesh, mode)
+            if mode == "rows":
+                # Route table gathers through the explicit shard_map exchange
+                # (local masked gather + psum over 'model'); consulted when the
+                # steps below are first traced.
+                set_table_mesh(self.mesh)
+                logger.info(
+                    f"table sharding: rows over mesh "
+                    f"{dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}; "
+                    f"lookups via shard_map masked-gather+psum")
 
         if getattr(self.config, "pretrain", False):
             if self.config.pt_type == "MFP":

@@ -83,3 +83,69 @@ def test_mesh_shapes():
     mesh = build_mesh(-1, 2)
     assert mesh.devices.shape == (4, 2)
     assert mesh.axis_names == ("data", "model")
+
+
+def test_shard_map_routed_lookup_matches(monkeypatch):
+    """With the table-mesh context active, model table gathers route through
+    the explicit shard_map exchange and the training trajectory matches the
+    unsharded baseline (2 full steps: forward + scatter backward + AdamW)."""
+    import map_tpu.parallel.embedding as pe
+    from map_tpu.parallel.context import table_sharded
+
+    model, cfg, args, tx, state, batch = _setup()
+    step, _ = ts.make_supervised_steps(model, cfg, args, tx, jax.random.PRNGKey(1))
+    s = state
+    for _ in range(2):
+        s, m1 = step(s, batch)
+    loss_single = float(m1["loss"])
+    emb_single = np.asarray(jax.device_get(s.params["embed"]["embedding"]))
+
+    calls = {"n": 0}
+    orig = pe.sharded_embedding_lookup
+
+    def counting(table, ids, mesh):
+        calls["n"] += 1
+        return orig(table, ids, mesh)
+
+    monkeypatch.setattr(pe, "sharded_embedding_lookup", counting)
+
+    model2, cfg2, args2, tx2, state2, _ = _setup()
+    mesh = build_mesh(2, 4)
+    with table_sharded(mesh):
+        step2, _ = ts.make_supervised_steps(model2, cfg2, args2, tx2,
+                                            jax.random.PRNGKey(1))
+        s2 = shard_state(state2, mesh)
+        sbatch = shard_batch(batch, mesh)
+        for _ in range(2):
+            s2, m8 = step2(s2, sbatch)
+    assert calls["n"] >= 1, "shard_map lookup was not routed"
+    assert abs(loss_single - float(m8["loss"])) < 1e-5
+    emb_mesh = np.asarray(jax.device_get(s2.params["embed"]["embedding"]))
+    np.testing.assert_allclose(emb_single, emb_mesh, atol=1e-6)
+
+
+def test_shard_map_routed_mfp_step():
+    """MFP step (decoder candidate gathers included) under routed sharding."""
+    from map_tpu.objectives.alias import build_alias_table
+    from map_tpu.parallel.context import table_sharded
+
+    model, cfg, args, tx, state, batch = _setup(pretrain=True)
+    probs = np.exp(cfg.logprob_noise)
+    prob_t, alias_t = build_alias_table(probs / probs.sum())
+    step, _ = ts.make_mfp_steps(model, cfg, args, tx, jax.random.PRNGKey(1),
+                                prob_t, alias_t, cfg.logprob_noise)
+    _, m1 = step(state, batch)
+    loss_single = float(m1["loss"])
+
+    model2, cfg2, args2, tx2, state2, _ = _setup(pretrain=True)
+    mesh = build_mesh(2, 4)
+    with table_sharded(mesh):
+        step2, _ = ts.make_mfp_steps(model2, cfg2, args2, tx2,
+                                     jax.random.PRNGKey(1),
+                                     prob_t, alias_t, cfg2.logprob_noise)
+        s2 = shard_state(state2, mesh)
+        sbatch = shard_batch(batch, mesh)
+        new_state, m8 = step2(s2, sbatch)
+    assert abs(loss_single - float(m8["loss"])) < 1e-5
+    emb_shard = new_state.params["embed"]["embedding"].sharding
+    assert emb_shard.spec[0] == "model"
