@@ -11,7 +11,8 @@ import numpy as np
 import jax
 
 
-def run_variant(name, fast_grad, shared_noise=False):
+def run_variant(name, fast_grad, shared_noise=False, nce_grad="xla",
+                ids_dist="zipf"):
     from map_tpu import models
     from map_tpu.config import Config, TrainingArguments
     from map_tpu.objectives.alias import build_alias_table, noise_distribution
@@ -22,13 +23,22 @@ def run_variant(name, fast_grad, shared_noise=False):
     emb_ops.FAST_GRAD_ENABLED = fast_grad
     b, f, v = 4096, 24, 1_000_000
     rng = np.random.default_rng(0)
-    probs = noise_distribution(rng.random(v) + 0.1)
+    if ids_dist == "zipf":
+        # realistic CTR unigram: power-law feature frequencies (the
+        # preprocessing id space is ordered arbitrarily within fields, but the
+        # FREQUENCY distribution of ids in batches is Zipf-like)
+        counts = (1.0 / np.arange(1, v + 1) ** 1.1)
+        rng.shuffle(counts)
+        probs = noise_distribution(counts)
+    else:
+        probs = noise_distribution(rng.random(v) + 0.1)
     cfg = Config(model_name="dcnv2", input_size=v, num_fields=f, embed_size=16,
                  hidden_size=1000, num_hidden_layers=3, hidden_act="relu",
                  hidden_dropout_rate=0.0, num_cross_layers=3, pretrain=True,
                  pt_type="MFP", proj_size=32, pt_neg_num=25,
                  nce_loss_type="nce", embed_norm=False, layer_norm_eps=1e-12,
                  embed_dropout_rate=0.0, use_pallas=False)
+    cfg.nce_grad = nce_grad
     cfg.logprob_noise = np.log(probs).astype(np.float32)
     cfg.norm_term = float(np.log(v))
     args = TrainingArguments(output_dir="/tmp/mfp_ab", learning_rate=1e-3,
@@ -39,8 +49,12 @@ def run_variant(name, fast_grad, shared_noise=False):
                              pt_shared_noise=shared_noise)
     model = models.from_config(cfg)
     tx, _ = build_optimizer(args, 10_000, 0)
+    if ids_dist == "zipf":
+        ids_np = rng.choice(v, size=(b, f), p=probs).astype(np.int32)
+    else:
+        ids_np = np.asarray(rng.integers(10, v, (b, f)), np.int32)
     batch = jax.device_put({
-        "input_ids": np.asarray(rng.integers(10, v, (b, f)), np.int32),
+        "input_ids": ids_np,
         "labels": np.zeros(b, np.float32),
         "weight": np.ones(b, np.float32)})
     state = ts.create_train_state(model, cfg, args, tx, jax.random.PRNGKey(0), batch)
@@ -65,7 +79,12 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     if which in ("xla", "both"):
         run_variant("xla-scatter", False)
-    if which in ("pallas", "both"):
+    if which in ("dedup", "both"):
+        run_variant("dedup-scatter", False, nce_grad="dedup")
+    if which == "dedup-uniform":
+        run_variant("dedup-scatter-uniform", False, nce_grad="dedup",
+                    ids_dist="uniform")
+    if which == "pallas":
         run_variant("pallas-scatter", True)
     if which == "shared":
         run_variant("shared-noise", False, shared_noise=True)

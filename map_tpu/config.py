@@ -145,6 +145,10 @@ class ModelArguments:
     proj_size: int = 32
     # MFP loss mode: nce (reference default, nce_loss.py:77) | sampled | full
     nce_loss_type: str = "nce"
+    # decoder candidate-gather gradient: 'dedup' folds duplicate ids before
+    # the table scatter (map_tpu.ops.dedup_scatter — ~3x faster per-position
+    # MFP on v5e with realistic Zipf unigrams); 'xla' = plain scatter
+    nce_grad: str = "dedup"
 
     # Auxiliary DNN tower (reference arguments.py:154-157)
     dnn_size: int = 1000

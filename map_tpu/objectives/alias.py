@@ -138,3 +138,55 @@ def per_field_alias_draw(key: jax.Array, prob_all: jnp.ndarray,
     kk = lo + jnp.floor(u * size).astype(jnp.int32)     # global bucket id
     keep = jax.random.uniform(k_bern, shape) < jnp.take(prob_all, kk)
     return jnp.where(keep, kk, jnp.take(alias_all, kk))
+
+
+# ---------------------------------------------------------------------------
+# Fused draw tables: dynamic row gathers cost ~10 ms per 745k rows on v5e
+# regardless of width, so the draw packs [prob, alias, logq, logq[alias]]
+# into ONE (V, 4) f32 table — one gather instead of two, and the noise ids'
+# log-probabilities (needed by the NCE loss, nce_loss.py:120-129) come out of
+# the same rows for free instead of a third full-stream gather.
+# ---------------------------------------------------------------------------
+
+def build_fused_alias(prob: np.ndarray, alias: np.ndarray,
+                      logq: np.ndarray) -> np.ndarray:
+    """(V, 4) f32 fused table: [keep-prob, bitcast(alias id), logq, logq[alias]]."""
+    alias_i = np.ascontiguousarray(np.asarray(alias, np.int32))
+    logq = np.asarray(logq, np.float32)
+    return np.stack([
+        np.asarray(prob, np.float32),
+        alias_i.view(np.float32),
+        logq,
+        logq[alias_i],
+    ], axis=1)
+
+
+def alias_draw_logq(key: jax.Array, fused: jnp.ndarray,
+                    shape: Tuple[int, ...]):
+    """One-gather draw. Returns (ids, logq_of_ids), both `shape`."""
+    k_bucket, k_bern = jax.random.split(key)
+    v = fused.shape[0]
+    kk = jax.random.randint(k_bucket, shape, 0, v)
+    rows = jnp.take(fused, kk, axis=0)
+    al = jax.lax.bitcast_convert_type(rows[..., 1], jnp.int32)
+    keep = jax.random.uniform(k_bern, shape) < rows[..., 0]
+    return (jnp.where(keep, kk, al),
+            jnp.where(keep, rows[..., 2], rows[..., 3]))
+
+
+def per_field_alias_draw_logq(key: jax.Array, fused: jnp.ndarray,
+                              idx_low: jnp.ndarray, field_sizes: jnp.ndarray,
+                              fields: jnp.ndarray, num_samples: int):
+    """Field-conditional one-gather draw (see per_field_alias_draw).
+    Returns (ids, logq_of_ids), both (B, M, num_samples)."""
+    k_bucket, k_bern = jax.random.split(key)
+    lo = jnp.take(idx_low, fields)[..., None]
+    size = jnp.take(field_sizes, fields)[..., None]
+    shape = (*fields.shape, num_samples)
+    u = jax.random.uniform(k_bucket, shape)
+    kk = lo + jnp.floor(u * size).astype(jnp.int32)
+    rows = jnp.take(fused, kk, axis=0)
+    al = jax.lax.bitcast_convert_type(rows[..., 1], jnp.int32)
+    keep = jax.random.uniform(k_bern, shape) < rows[..., 0]
+    return (jnp.where(keep, kk, al),
+            jnp.where(keep, rows[..., 2], rows[..., 3]))

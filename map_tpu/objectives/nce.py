@@ -67,16 +67,23 @@ class IndexLinearDecoder(nn.Module):
         """inputs (B, M, E), indices (B, M, C) -> logits (B, M, C).
 
         NOTE: the candidate count here is B*M*(1+k) ~ 7.6x the input-table
-        lookup; XLA's serialized scatter backward makes this path ~162 ms per
-        canonical batch on v5e (PERFORMANCE.md). Use --pt_shared_noise (the
-        reference's per_word=False variant) for the fast configuration; the
-        Pallas scatter backward (ops.embedding.FAST_GRAD_ENABLED) remains
-        opt-in while the toolchain's Mosaic compile of it is unstable.
+        lookup, and XLA's scatter backward serializes row updates. The default
+        gradient path (config.nce_grad='dedup', map_tpu.ops.dedup_scatter)
+        folds duplicate candidate ids before the scatter — one fused
+        sort/cumsum pass for both tables. --pt_shared_noise (the reference's
+        per_word=False variant) remains the fastest configuration.
         """
         from map_tpu.ops.embedding import embedding_lookup
+        from map_tpu.parallel.context import table_mesh
 
-        rows = embedding_lookup(self.emb, indices)
-        b = embedding_lookup(self.bias[:, None], indices)[..., 0]
+        if (getattr(self.config, "nce_grad", "dedup") == "dedup"
+                and table_mesh() is None):
+            from map_tpu.ops.dedup_scatter import decoder_gather
+
+            rows, b = decoder_gather(self.emb, self.bias, indices)
+        else:
+            rows = embedding_lookup(self.emb, indices)
+            b = embedding_lookup(self.bias[:, None], indices)[..., 0]
         return jnp.einsum("bme,bmce->bmc", inputs, rows) + b
 
     def shared_noise_logits(self, inputs: jnp.ndarray, target_idx: jnp.ndarray,

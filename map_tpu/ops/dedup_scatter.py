@@ -1,0 +1,286 @@
+"""Duplicate-folding scatter-add: the take-4 gradient path for huge candidate
+sets (ROADMAP round-2 item 1).
+
+XLA's scatter-add serializes row updates (~140 ns/row at E=32 on v5e:
+~105 ms for the MFP candidate set of B*M*(1+k) ~ 745k rows). But CTR unigram
+noise is Zipf-distributed, so the 745k draws hit only a few tens of thousands
+of DISTINCT ids. This pipeline folds duplicates before the scatter:
+
+1. sort ids (carrying the permutation) — `lax.sort_key_val`, ~3 ms;
+2. permute the row-gradients (one gather) and prefix-sum them (`cumsum`);
+3. locate segment boundaries (id changes) and compact the first-positions of
+   the first `capacity` segments TO THE FRONT with a second key-value sort
+   (binary-search compaction is off the table: `searchsorted` with n queries
+   costs ~110 ms on TPU — measured, benchmarks/bench_dedup_parts.py);
+4. per compacted segment, the folded gradient is the cumsum difference
+   between the segment's last and previous-segment's last positions (two
+   row gathers);
+5. scatter only the <= capacity unique rows.
+
+When the batch has more than `capacity` distinct ids, a `lax.cond` falls back
+to the plain full scatter (correctness never depends on the distribution).
+
+Numerics: step 4 computes segment sums as f32 prefix differences, so a
+segment's error is bounded by the rounding of the prefix up to it (relative to
+the full-stream magnitude, ~1e-4 absolute for N(0,1) gradients at 745k rows)
+— negligible against SGD gradient noise; the unit tests pin the tolerance.
+
+The reference counterpart is torch's native scatter-add under
+`nn.Embedding` backward (`code/nce/index_linear.py:99-100`); this file is the
+TPU-native re-design of that hot path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_CAPACITY = 1 << 17  # 131072 unique rows
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _dedup_compact(flat_ids: jnp.ndarray, g: jnp.ndarray, vocab_size: int,
+                   capacity: int):
+    """Sort + fold duplicates + compact. Returns (uids, vals, num_unique,
+    sids, sg) with uids/vals of length `capacity` (sentinel-padded)."""
+    n, e = g.shape
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sids, order = jax.lax.sort_key_val(flat_ids, iota)
+    sg = jnp.take(g, order, axis=0)
+
+    first = jnp.concatenate([jnp.ones(1, jnp.bool_), sids[1:] != sids[:-1]])
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1      # segment idx per pos
+    num_unique = seg[-1] + 1
+
+    # compact segment-start positions to the front: sort (key=segment idx for
+    # firsts else n, value=position). Slot j then holds start_pos of segment j.
+    key = jnp.where(first, seg, jnp.int32(n))
+    _, start_pos = jax.lax.sort_key_val(key, iota)
+    start_pos = start_pos[:capacity]                   # (C,)
+    j = jnp.arange(capacity, dtype=jnp.int32)
+    valid = j < num_unique
+    # segment j ends right before segment j+1 starts
+    next_start = jnp.where(j + 1 < num_unique,
+                           jnp.roll(start_pos, -1), jnp.int32(n))
+    end_pos = jnp.clip(next_start - 1, 0, n - 1)
+
+    cs = jnp.cumsum(sg, axis=0)
+    hi = jnp.take(cs, end_pos, axis=0)
+    lo = jnp.where((start_pos > 0)[:, None],
+                   jnp.take(cs, jnp.maximum(start_pos - 1, 0), axis=0), 0.0)
+    vals = jnp.where(valid[:, None], hi - lo, 0.0)
+    uids = jnp.where(valid, jnp.take(sids, jnp.minimum(start_pos, n - 1)),
+                     jnp.int32(vocab_size))            # sentinel -> dropped
+    return uids, vals, num_unique, sids, sg
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def dedup_scatter_add(ids: jnp.ndarray, grads: jnp.ndarray, vocab_size: int,
+                      capacities=(1 << 16, DEFAULT_CAPACITY)) -> jnp.ndarray:
+    """ids (...,) int32, grads (..., E) -> dense (vocab_size, E) f32 gradient.
+
+    Equivalent to `jax.ops.segment_sum(grads, ids, vocab_size)` but folds
+    duplicate ids before scattering (see module docstring). `capacities` is an
+    ascending tuple of compaction tiers; the scatter cost is linear in the
+    chosen tier (~140 ns/row), so the smallest tier that fits num_unique wins.
+    """
+    flat_ids = ids.reshape(-1).astype(jnp.int32)
+    g = grads.reshape(-1, grads.shape[-1]).astype(jnp.float32)
+    n, e = g.shape
+    tiers = sorted({min(c, n) for c in capacities})
+    cap_max = tiers[-1]
+
+    uids, vals, num_unique, sids, sg = _dedup_compact(flat_ids, g,
+                                                      vocab_size, cap_max)
+
+    def scatter_tier(c):
+        # slots beyond num_unique are sentinel-padded, so any prefix >= the
+        # unique count scatters the complete folded gradient
+        def run(_):
+            return jnp.zeros((vocab_size, e), jnp.float32).at[uids[:c]].add(
+                vals[:c], mode="drop", indices_are_sorted=True)
+        return run
+
+    def fallback(_):
+        return jnp.zeros((vocab_size, e), jnp.float32).at[sids].add(
+            sg, indices_are_sorted=True)
+
+    def make(idx):
+        """Nested conds, smallest tier outermost; every branch body is built
+        lazily inside its cond so only the taken tier executes at runtime."""
+        c = tiers[idx]
+        small = scatter_tier(c)
+        if idx == len(tiers) - 1:
+            if c >= n:
+                return small
+            return lambda _: jax.lax.cond(num_unique <= c, small, fallback,
+                                          None)
+        bigger = make(idx + 1)
+        return lambda _: jax.lax.cond(num_unique <= c, small, bigger, None)
+
+    return make(0)(None)
+
+
+@jax.custom_vjp
+def gather_dedup(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """`jnp.take(table, ids, axis=0)` whose backward folds duplicates before
+    the scatter (dedup_scatter_add). Use for huge skewed candidate gathers
+    (the NCE decoder's (B, M, 1+k) set)."""
+    return jnp.take(table, ids, axis=0)
+
+
+def _fwd(table, ids):
+    return jnp.take(table, ids, axis=0), (ids, table.shape[0])
+
+
+def _bwd(res, gout):
+    ids, v = res
+    return dedup_scatter_add(ids, gout, v), None
+
+
+gather_dedup.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused decoder candidate gather (unique-once forward + shared-sort backward)
+#
+# Per-row dynamic gathers/scatters cost ~10-40 ms per 745k-row op on v5e
+# regardless of row width (<=128 B), so the design minimizes the COUNT of
+# full-stream ops and keeps every stream at <=32 f32 columns (wider rows
+# cross the native 128-byte access unit: a 33-column perm gather measured
+# 3.5x slower than 32 — benchmarks/bench_dedup_parts.py):
+#
+# forward: sort candidate ids ONCE -> gather only the <=capacity UNIQUE rows
+# from the big table (745k draws hit ~100k distinct ids under Zipf unigrams)
+# -> expand to all positions by a small-source gather. The bias column is a
+# direct 1-wide gather (unique+expand has no advantage at width 1).
+#
+# backward: reuses the forward's sort. Gradients are permuted per stream
+# (32-wide rows, 1-wide bias), folded by cumsum-difference at segment
+# boundaries, and the COMPACTED (capacity-sized) values are concatenated so
+# one scatter updates both tables ((V, E+1) then sliced) — scatter cost is
+# per-row, so merging the two scatters is free.
+#
+# Both directions lax.cond-fallback to the plain paths when the batch has
+# more than `capacity` distinct candidate ids.
+# ---------------------------------------------------------------------------
+
+DECODER_CAPACITY = DEFAULT_CAPACITY
+
+
+def _sort_ids(flat_ids: jnp.ndarray, capacity: int):
+    """One sort shared by forward and backward. Returns
+    (sids, order, u_of_orig, uids_c, start_pos, end_pos, valid, num_unique):
+    u_of_orig[p] = unique-slot of original position p; uids_c = compacted
+    unique ids (sentinel n beyond num_unique)."""
+    n = flat_ids.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sids, order = jax.lax.sort_key_val(flat_ids, iota)
+    first = jnp.concatenate([jnp.ones(1, jnp.bool_), sids[1:] != sids[:-1]])
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    num_unique = seg[-1] + 1
+    # unique-slot per ORIGINAL position (inverse permutation of seg)
+    _, u_of_orig = jax.lax.sort_key_val(order, seg)
+    # compact segment-start positions to the front (see module docstring)
+    key = jnp.where(first, seg, jnp.int32(n))
+    _, start_pos = jax.lax.sort_key_val(key, iota)
+    start_pos = start_pos[:capacity]
+    j = jnp.arange(capacity, dtype=jnp.int32)
+    valid = j < num_unique
+    next_start = jnp.where(j + 1 < num_unique,
+                           jnp.roll(start_pos, -1), jnp.int32(n))
+    end_pos = jnp.clip(next_start - 1, 0, n - 1)
+    uids_c = jnp.where(valid, jnp.take(sids, jnp.minimum(start_pos, n - 1)),
+                       jnp.int32(n))  # n is never a valid id slot marker use
+    return sids, order, u_of_orig, uids_c, start_pos, end_pos, valid, num_unique
+
+
+def _fold_stream(g_perm: jnp.ndarray, start_pos, end_pos, valid):
+    """Segment sums of a SORTED gradient stream at the compacted slots."""
+    n = g_perm.shape[0]
+    cs = jnp.cumsum(g_perm, axis=0)
+    hi = jnp.take(cs, end_pos, axis=0)
+    lo = jnp.where((start_pos > 0)[:, None],
+                   jnp.take(cs, jnp.maximum(start_pos - 1, 0), axis=0), 0.0)
+    return jnp.where(valid[:, None], hi - lo, 0.0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def decoder_gather(emb: jnp.ndarray, bias: jnp.ndarray, ids: jnp.ndarray):
+    """Candidate gather for the NCE decoder: rows (..., E) from `emb` (V, E)
+    and scalars (...,) from `bias` (V,), sharing one id set (the two
+    index_selects at reference `code/nce/index_linear.py:99-100`)."""
+    return jnp.take(emb, ids, axis=0), jnp.take(bias, ids)
+
+
+def _dg_fwd(emb, bias, ids):
+    v, e = emb.shape
+    flat = ids.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    capacity = min(DECODER_CAPACITY, n)
+    (sids, order, u_of_orig, uids_c, start_pos, end_pos, valid,
+     num_unique) = _sort_ids(flat, capacity)
+
+    def unique_path(_):
+        safe_uids = jnp.minimum(uids_c, v - 1)  # sentinels read row v-1, unused
+        compact = jnp.take(emb, safe_uids, axis=0)        # (C, E) small gather
+        return jnp.take(compact, u_of_orig, axis=0)       # small-source expand
+
+    def direct_path(_):
+        return jnp.take(emb, flat, axis=0)
+
+    if capacity >= n:
+        rows_flat = unique_path(None)
+    else:
+        rows_flat = jax.lax.cond(num_unique <= capacity, unique_path,
+                                 direct_path, None)
+    rows = rows_flat.reshape(*ids.shape, e)
+    b = jnp.take(bias, ids)  # 1-wide: direct gather is as fast as expand
+    res = (flat, ids.shape, v, sids, order, uids_c, start_pos, end_pos,
+           valid, num_unique)
+    return (rows, b), res
+
+
+def _dg_bwd(res, gout):
+    (flat, ids_shape, v, sids, order, uids_c, start_pos, end_pos, valid,
+     num_unique) = res
+    g_rows, g_b = gout
+    e = g_rows.shape[-1]
+    gr = g_rows.reshape(-1, e).astype(jnp.float32)
+    gb = g_b.reshape(-1).astype(jnp.float32)
+    n = gr.shape[0]
+    capacity = start_pos.shape[0]
+
+    def folded(_):
+        gr_s = jnp.take(gr, order, axis=0)                # 32-wide perm
+        gb_s = jnp.take(gb, order)[:, None]               # 1-wide perm
+        vals_e = _fold_stream(gr_s, start_pos, end_pos, valid)
+        vals_b = _fold_stream(gb_s, start_pos, end_pos, valid)
+        vals = jnp.concatenate([vals_e, vals_b], axis=1)  # (C, E+1) tiny
+        uids_safe = jnp.where(valid, uids_c, jnp.int32(v))  # sentinel -> drop
+        out = jnp.zeros((v, e + 1), jnp.float32).at[uids_safe].add(
+            vals, mode="drop", indices_are_sorted=True)
+        return out[:, :e], out[:, e]
+
+    def fallback(_):
+        gr_s = jnp.take(gr, order, axis=0)
+        gb_s = jnp.take(gb, order)[:, None]
+        g_all = jnp.concatenate([gr_s, gb_s], axis=1)
+        out = jnp.zeros((v, e + 1), jnp.float32).at[sids].add(
+            g_all, indices_are_sorted=True)
+        return out[:, :e], out[:, e]
+
+    if capacity >= n:
+        d_emb, d_bias = folded(None)
+    else:
+        d_emb, d_bias = jax.lax.cond(num_unique <= capacity, folded,
+                                     fallback, None)
+    return d_emb, d_bias, None
+
+
+decoder_gather.defvjp(_dg_fwd, _dg_bwd)

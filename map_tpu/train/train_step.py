@@ -149,12 +149,21 @@ def make_mfp_steps(model, config, args, tx, base_rng,
     mask_num = corruption.mask_num_of(config.num_fields, args.mask_ratio)
     k = int(config.pt_neg_num)
     loss_type = getattr(config, "nce_loss_type", "nce")
+    from map_tpu.objectives.alias import (
+        alias_draw_logq,
+        build_fused_alias,
+        per_field_alias_draw_logq,
+    )
+
+    # fused (V, 4) draw table: one gather yields noise ids AND their logq —
+    # dynamic row gathers are per-row-priced on TPU, so this replaces three
+    # full-candidate-stream gathers (prob, alias, loss logq) with one
+    fused_tab = jnp.asarray(build_fused_alias(alias_prob, alias_alias,
+                                              logprob_noise))
     alias_prob = jnp.asarray(alias_prob)
     alias_alias = jnp.asarray(alias_alias)
     logprob_noise = jnp.asarray(logprob_noise, jnp.float32)
     if per_field is not None:
-        from map_tpu.objectives.alias import per_field_alias_draw
-
         pf_prob, pf_alias, pf_lo, pf_sizes, pf_lnz = (jnp.asarray(x)
                                                       for x in per_field)
         norm_term = None  # per-position, derived from the target's field
@@ -167,18 +176,18 @@ def make_mfp_steps(model, config, args, tx, base_rng,
             k_mask, batch["input_ids"], mask_num, args.sampling_method)
         b = corrupted.shape[0]
         if per_field is not None:
-            from map_tpu.objectives.alias import per_field_alias_draw
-
-            noise = per_field_alias_draw(k_noise, pf_prob, pf_alias, pf_lo,
-                                         pf_sizes, masked_index, k)
+            noise, noise_logq = per_field_alias_draw_logq(
+                k_noise, fused_tab, pf_lo, pf_sizes, masked_index, k)
         else:
-            noise = alias_draw(k_noise, alias_prob, alias_alias,
-                               (b, mask_num, k))
+            noise, noise_logq = alias_draw_logq(k_noise, fused_tab,
+                                                (b, mask_num, k))
+        target_logq = jnp.take(logprob_noise, labels)  # (B, M): small gather
         candidates = jnp.concatenate([labels[..., None], noise], axis=-1)
-        return corrupted, masked_index, candidates
+        cand_logq = jnp.concatenate([target_logq[..., None], noise_logq],
+                                    axis=-1)
+        return corrupted, masked_index, candidates, cand_logq
 
-    def _loss_from_logits(cand_logits, candidates, weight):
-        noise_logprobs = jnp.take(logprob_noise, candidates)
+    def _loss_from_logits(cand_logits, candidates, noise_logprobs, weight):
         if per_field is not None:
             # per-position lnZ = log(field size) of the target's field
             norm = jnp.take(pf_lnz, candidates[:, :, 0])[..., None]
@@ -247,7 +256,13 @@ def make_mfp_steps(model, config, args, tx, base_rng,
         b = corrupted.shape[0]
         noise_bc = jnp.broadcast_to(noise[None, None, :], (b, mask_num, k))
         candidates = jnp.concatenate([labels[..., None], noise_bc], axis=-1)
-        loss = _loss_from_logits(logits, candidates, batch["weight"])
+        # logq: (k,) noise lookup broadcast + (B, M) target lookup — no
+        # full-candidate-stream gather
+        target_logq = jnp.take(logprob_noise, labels)
+        noise_logq = jnp.broadcast_to(jnp.take(logprob_noise, noise)[None, None, :],
+                                      (b, mask_num, k))
+        cand_logq = jnp.concatenate([target_logq[..., None], noise_logq], axis=-1)
+        loss = _loss_from_logits(logits, candidates, cand_logq, batch["weight"])
         acc_count = mfp_accuracy_count(logits, batch["weight"])
         return loss, acc_count, new_bs
 
@@ -284,13 +299,15 @@ def make_mfp_steps(model, config, args, tx, base_rng,
             return new_state, {"loss": loss, "count": count,
                                "acc_count": acc_count}
 
-        corrupted, masked_index, candidates = _corrupt_and_sample(k_corrupt, batch)
+        corrupted, masked_index, candidates, cand_logq = _corrupt_and_sample(
+            k_corrupt, batch)
 
         def loss_fn(params):
             cand_logits, new_bs = _apply_train(
                 model, state, params, corrupted, k_drop,
                 masked_index=masked_index, candidates=candidates)
-            loss = _loss_from_logits(cand_logits, candidates, batch["weight"])
+            loss = _loss_from_logits(cand_logits, candidates, cand_logq,
+                                     batch["weight"])
             return loss, (cand_logits, new_bs)
 
         (loss, (cand_logits, new_bs)), grads = jax.value_and_grad(
@@ -314,13 +331,15 @@ def make_mfp_steps(model, config, args, tx, base_rng,
                 batch["weight"], rng, False)
             count = batch["weight"].sum() * mask_num
             return {"loss": loss, "count": count, "acc_count": acc_count}
-        corrupted, masked_index, candidates = _corrupt_and_sample(rng, batch)
+        corrupted, masked_index, candidates, cand_logq = _corrupt_and_sample(
+            rng, batch)
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         cand_logits = _apply_eval(model, variables, corrupted,
                                   masked_index=masked_index, candidates=candidates)
-        loss = _loss_from_logits(cand_logits, candidates, batch["weight"])
+        loss = _loss_from_logits(cand_logits, candidates, cand_logq,
+                                 batch["weight"])
         acc_count = mfp_accuracy_count(cand_logits, batch["weight"])
         count = batch["weight"].sum() * mask_num
         return {"loss": loss, "count": count, "acc_count": acc_count}
