@@ -70,5 +70,34 @@ def main():
             uid, ug)
 
 
+
+
+def scatter_variants():
+    """Width/capacity variants for the decoder backward scatter."""
+    v = 1_000_000
+    rng = np.random.default_rng(0)
+    for u in (32768, 49152, 65536, 131072):
+        uid = jnp.asarray(np.sort(rng.choice(v, u, replace=False)), jnp.int32)
+        for e in (1, 32, 33):
+            ug = jnp.asarray(rng.standard_normal((u, e)), jnp.float32)
+            timeit(f"scatter u={u} e={e}", jax.jit(
+                lambda i, gg, e=e: jnp.zeros((v, e), jnp.float32).at[i].add(
+                    gg, unique_indices=True, indices_are_sorted=True)),
+                uid, ug)
+    n = 745_472
+    ids = jnp.asarray(rng.integers(0, v, n), jnp.int32)
+    bias = jnp.asarray(rng.standard_normal(v), jnp.float32)
+    timeit("gather 745k 1-wide (bias)", jax.jit(lambda b, i: b[i]), bias, ids)
+    tab = jnp.asarray(rng.standard_normal((v, 32)), jnp.float32)
+    timeit("gather 745k 32-wide direct", jax.jit(lambda t, i: t[i]), tab, ids)
+    small = jnp.asarray(rng.standard_normal((131072, 32)), jnp.float32)
+    sid = jnp.asarray(rng.integers(0, 131072, n), jnp.int32)
+    timeit("gather 745k 32-wide small-src", jax.jit(lambda t, i: t[i]), small, sid)
+
+
 if __name__ == "__main__":
+    import sys
+    if len(sys.argv) > 1 and sys.argv[1] == "scatter":
+        scatter_variants()
+        raise SystemExit
     main()

@@ -74,6 +74,12 @@ class TrainingArguments:
     compute_dtype: str = "float32"  # float32 | bfloat16 for activations
     table_sharding: str = "auto"  # auto | replicated | rows
     mock_devices: int = 0        # >0: force CPU with N virtual devices (testing)
+    # Streaming eval: the device reduces each eval batch to two score
+    # histograms + scalar sums, so AUC/LogLoss need no per-example host
+    # transfer (billion-row evals). AUC becomes a bucketed estimator with
+    # error O(1/auc_bins); default off = exact sklearn-parity host AUC.
+    streaming_auc: bool = False
+    auc_bins: int = 32768
 
     @property
     def train_batch_size(self) -> int:

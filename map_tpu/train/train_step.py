@@ -50,6 +50,38 @@ def make_multi_step(step_fn, num_steps: int):
     return jax.jit(multi, donate_argnums=(0,))
 
 
+def make_multi_eval(eval_fn, has_rng: bool = False):
+    """Fuse a stack of eval batches into ONE device dispatch via lax.scan
+    (the eval twin of make_multi_step; reference evals dispatch per batch,
+    `code/trainer.py:177-186`).
+
+    stacked_batch: pytree with leading dim = number of batches; returns the
+    per-batch metrics stacked on that axis. With has_rng=True the returned
+    callable is (state, stacked_batch, rng, start_index) and folds
+    `rng ⊕ (start_index + i)` for batch i — bit-identical to the unstacked
+    per-batch `fold_in(rng, global_batch_index)` stream.
+    """
+    if has_rng:
+        def multi(state, stacked_batch, rng, start_index):
+            def body(i, b):
+                return i + 1, eval_fn(state, b, jax.random.fold_in(rng, i))
+
+            _, ms = jax.lax.scan(body, jnp.asarray(start_index, jnp.int32),
+                                 stacked_batch)
+            return ms
+
+        return jax.jit(multi)
+
+    def multi(state, stacked_batch):
+        def body(c, b):
+            return c, eval_fn(state, b)
+
+        _, ms = jax.lax.scan(body, jnp.int32(0), stacked_batch)
+        return ms
+
+    return jax.jit(multi)
+
+
 @struct.dataclass
 class TrainState:
     params: Any
@@ -107,7 +139,12 @@ def _update(tx, state: TrainState, grads, new_batch_stats) -> TrainState:
 # Supervised CTR (scratch / finetune): reference trainer.py:87-161
 # ---------------------------------------------------------------------------
 
-def make_supervised_steps(model, config, args, tx, base_rng):
+def make_supervised_steps(model, config, args, tx, base_rng,
+                          streaming_bins: int = 0):
+    """streaming_bins > 0 switches the eval step to streaming mode: instead of
+    per-example logits/probs it returns two score histograms plus exact scalar
+    sums (log-loss, logit/prob sums, count), all O(bins) — no per-example
+    device->host transfer. See utils.metrics.auc_from_histograms."""
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         rng = jax.random.fold_in(base_rng, state.step)
 
@@ -130,8 +167,28 @@ def make_supervised_steps(model, config, args, tx, base_rng):
             variables["batch_stats"] = state.batch_stats
         logits = _apply_eval(model, variables, batch["input_ids"]).reshape(-1)
         loss = bce_loss(logits, batch["labels"], batch["weight"])
-        return {"loss": loss, "logits": logits,
-                "probs": jax.nn.sigmoid(logits)}
+        probs = jax.nn.sigmoid(logits)
+        if not streaming_bins:
+            return {"loss": loss, "logits": logits, "probs": probs}
+        # streaming mode: O(bins) reduction on device. Padding rows carry
+        # weight 0 and drop out of every sum/histogram.
+        w = batch["weight"]
+        y = batch["labels"]
+        nb = int(streaming_bins)
+        bucket = jnp.clip((probs * nb).astype(jnp.int32), 0, nb - 1)
+        hist_pos = jnp.zeros(nb, jnp.float32).at[bucket].add(w * y)
+        hist_neg = jnp.zeros(nb, jnp.float32).at[bucket].add(w * (1.0 - y))
+        # exact per-example BCE from logits: softplus(x) - y*x (stable)
+        per_ll = jnp.logaddexp(0.0, logits) - y * logits
+        return {
+            "loss": loss,
+            "hist_pos": hist_pos,
+            "hist_neg": hist_neg,
+            "ll_sum": jnp.sum(w * per_ll),
+            "logit_sum": jnp.sum(w * logits),
+            "prob_sum": jnp.sum(w * probs),
+            "count": jnp.sum(w),
+        }
 
     return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)
 

@@ -30,7 +30,7 @@ from map_tpu.objectives import corruption
 from map_tpu.objectives.alias import load_or_build_alias, noise_distribution
 from map_tpu.train import checkpoints, train_step as ts
 from map_tpu.train.optimizer import build_optimizer
-from map_tpu.utils.metrics import binary_log_loss, roc_auc
+from map_tpu.utils.metrics import auc_from_histograms, binary_log_loss, roc_auc
 
 logger = logging.getLogger(__name__)
 
@@ -52,7 +52,12 @@ class Trainer:
         self.state: Optional[ts.TrainState] = None
         self._train_step = None
         self._eval_step = None
+        self._multi_eval = None
+        self._eval_has_rng = False
         self._profiler_active = False
+        self._streaming_bins = (int(getattr(training_args, "auc_bins", 32768))
+                                if getattr(training_args, "streaming_auc", False)
+                                else 0)
 
         if getattr(self.config, "pretrain", False) and self.config.pt_type == "MFP":
             probs = noise_distribution(self.config.feat_count)
@@ -157,9 +162,13 @@ class Trainer:
                 raise NotImplementedError(self.config.pt_type)
         else:
             self._train_step, self._eval_step = ts.make_supervised_steps(
-                self.model, self.config, self.args, tx, step_rng)
+                self.model, self.config, self.args, tx, step_rng,
+                streaming_bins=self._streaming_bins)
         self._steps_per_call = max(1, getattr(self.args, "steps_per_call", 1))
         self._multi_step = (ts.make_multi_step(self._train_step, self._steps_per_call)
+                            if self._steps_per_call > 1 else None)
+        self._eval_has_rng = bool(getattr(self.config, "pretrain", False))
+        self._multi_eval = (ts.make_multi_eval(self._eval_step, self._eval_has_rng)
                             if self._steps_per_call > 1 else None)
         self._t_total, self._t_warmup = t_total, t_warmup
         self._maybe_resume()
@@ -182,15 +191,16 @@ class Trainer:
 
         return jax.device_put(batch, jax.tree.map(spec, batch))
 
-    def _train_stream(self, batches):
-        """Yields (n_steps, device_batch_or_stack, host_batches). Stacks
-        steps_per_call batches into one dispatch (lax.scan inside) and
-        prefetches transfers on a background thread so H2D overlaps compute
-        (the tunnel costs ~10 ms per un-prefetched batch)."""
+    def _grouped_stream(self, batches, grouped: bool):
+        """Yields (n, device_batch_or_stack, host_batches). When `grouped`,
+        stacks steps_per_call batches into one transfer (consumed by a fused
+        lax.scan dispatch); always prefetches transfers on a background thread
+        so H2D overlaps compute (the tunnel costs ~10 ms per un-prefetched
+        batch)."""
         import queue as queue_mod
         import threading
 
-        spc = self._steps_per_call
+        spc = self._steps_per_call if grouped else 1
         depth = max(1, getattr(self.args, "prefetch_batches", 2))
         q: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
 
@@ -199,7 +209,7 @@ class Trainer:
                 group = []
                 for b in batches:
                     group.append(b)
-                    if len(group) == spc and self._multi_step is not None:
+                    if len(group) == spc and spc > 1:
                         stacked = {k: np.stack([g[k] for g in group])
                                    for k in group[0]}
                         q.put((spc, self._put(stacked, True), group))
@@ -220,30 +230,30 @@ class Trainer:
                 raise item
             yield item
 
-    def _eval_stream(self, batches):
-        """Prefetched (device_batch, host_batch) pairs for eval loops."""
-        import queue as queue_mod
-        import threading
+    def _train_stream(self, batches):
+        return self._grouped_stream(batches, self._multi_step is not None)
 
-        depth = max(1, getattr(self.args, "prefetch_batches", 2))
-        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
-
-        def producer():
-            try:
-                for b in batches:
-                    q.put((self._put(b, False), b))
-                q.put(None)
-            except BaseException as e:
-                q.put(e)
-
-        threading.Thread(target=producer, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+    def _eval_dispatch(self, batches, rng_base=None):
+        """Yields (metrics_device, host_batches), dispatching steps_per_call
+        eval batches per device call (lax.scan) like the train stream; stacked
+        groups return metrics with a leading per-batch axis. RNG (pretrain
+        evals) folds with the ABSOLUTE batch index, so grouped and ungrouped
+        streams are bit-identical."""
+        idx = 0
+        for n, dev_batch, host_group in self._grouped_stream(
+                batches, self._multi_eval is not None):
+            if n > 1:
+                if self._eval_has_rng:
+                    m = self._multi_eval(self.state, dev_batch, rng_base, idx)
+                else:
+                    m = self._multi_eval(self.state, dev_batch)
+            elif self._eval_has_rng:
+                m = self._eval_step(self.state, dev_batch,
+                                    jax.random.fold_in(rng_base, idx))
+            else:
+                m = self._eval_step(self.state, dev_batch)
+            idx += n
+            yield m, host_group
 
     def _run_train_step(self, n, dev_batch):
         if n > 1:
@@ -421,28 +431,49 @@ class Trainer:
         logger.info(f"  num examples = {batcher.num_examples()}")
         logger.info(f"  batch size = {batcher.batch_size}")
 
-        all_logits, all_probs, all_labels, all_w = [], [], [], []
-        for dev_batch, batch in self._eval_stream(batcher.epoch(0)):
-            m = self._eval_step(self.state, dev_batch)
-            all_logits.append(m["logits"])
-            all_probs.append(m["probs"])
-            all_labels.append(batch["labels"])
-            all_w.append(batch["weight"])
-        logits = np.concatenate(jax.device_get(all_logits)).astype(np.float64)
-        probs = np.concatenate(jax.device_get(all_probs)).astype(np.float64)
-        labels = np.concatenate(all_labels)
-        w = np.concatenate(all_w) > 0
-        logits, probs, labels = logits[w], probs[w], labels[w]
+        streaming = self._streaming_bins > 0
+        dev_metrics, all_labels, all_w = [], [], []
+        for m, host_group in self._eval_dispatch(batcher.epoch(0)):
+            dev_metrics.append(m)
+            if not streaming:
+                all_labels.extend(g["labels"] for g in host_group)
+                all_w.extend(g["weight"] for g in host_group)
+        got = jax.device_get(dev_metrics)
 
-        auc = roc_auc(labels, probs)
-        ll = binary_log_loss(labels, probs)
+        if streaming:
+            # device-reduced histograms + exact sums (O(bins) D2H per batch)
+            nb = self._streaming_bins
+            hist_pos = np.zeros(nb, np.float64)
+            hist_neg = np.zeros(nb, np.float64)
+            ll_sum = logit_sum = prob_sum = count = 0.0
+            for g in got:
+                hist_pos += np.asarray(g["hist_pos"], np.float64).reshape(-1, nb).sum(0)
+                hist_neg += np.asarray(g["hist_neg"], np.float64).reshape(-1, nb).sum(0)
+                ll_sum += float(np.sum(g["ll_sum"]))
+                logit_sum += float(np.sum(g["logit_sum"]))
+                prob_sum += float(np.sum(g["prob_sum"]))
+                count += float(np.sum(g["count"]))
+            auc = auc_from_histograms(hist_pos, hist_neg)
+            ll = ll_sum / count
+            avg_logits, avg_probs = logit_sum / count, prob_sum / count
+        else:
+            logits = np.concatenate(
+                [np.asarray(g["logits"]).reshape(-1) for g in got]).astype(np.float64)
+            probs = np.concatenate(
+                [np.asarray(g["probs"]).reshape(-1) for g in got]).astype(np.float64)
+            labels = np.concatenate(all_labels)
+            w = np.concatenate(all_w) > 0
+            logits, probs, labels = logits[w], probs[w], labels[w]
+            auc = roc_auc(labels, probs)
+            ll = binary_log_loss(labels, probs)
+            avg_logits, avg_probs = float(logits.mean()), float(probs.mean())
         self.eval_metrics.append([auc, ll])
         _log = {
             "learning_rate": self._current_lr(),
             "eval_auc": auc,
             "eval_loss": ll,
-            "avg_logits": float(logits.mean()),
-            "avg_probs": float(probs.mean()),
+            "avg_logits": avg_logits,
+            "avg_probs": avg_probs,
         }
         logger.info(str(_log))
         if not test_eval:
@@ -502,13 +533,12 @@ class Trainer:
         logger.info(f"  num examples = {batcher.num_examples()}")
         total_loss, total_acc, count = 0.0, 0.0, 0.0
         start_time = time.time()
-        for i, (dev_batch, _) in enumerate(self._eval_stream(batcher.epoch(0))):
-            rng = jax.random.fold_in(self._eval_rng_base, i)
-            m = jax.device_get(self._eval_step(self.state, dev_batch, rng))
-            c = float(m["count"])
-            total_loss += float(m["loss"]) * c
-            total_acc += float(m["acc_count"])
-            count += c
+        for m, _ in self._eval_dispatch(batcher.epoch(0), self._eval_rng_base):
+            g = jax.device_get(m)
+            c = np.atleast_1d(g["count"]).astype(np.float64)
+            total_loss += float((np.atleast_1d(g["loss"]) * c).sum())
+            total_acc += float(np.sum(g["acc_count"]))
+            count += float(c.sum())
         _log = {
             "learning_rate": self._current_lr(),
             "eval_mfp_loss": total_loss / count,
@@ -564,13 +594,12 @@ class Trainer:
         logger.info(f"  num examples = {batcher.num_examples()}")
         total_loss, total_acc, count = 0.0, 0.0, 0.0
         start_time = time.time()
-        for i, (dev_batch, _) in enumerate(self._eval_stream(batcher.epoch(0))):
-            rng = jax.random.fold_in(self._eval_rng_base, i)
-            m = jax.device_get(self._eval_step(self.state, dev_batch, rng))
-            c = float(m["count"])
-            total_loss += float(m["loss"]) * c
-            total_acc += float(m["acc"]) * c
-            count += c
+        for m, _ in self._eval_dispatch(batcher.epoch(0), self._eval_rng_base):
+            g = jax.device_get(m)
+            c = np.atleast_1d(g["count"]).astype(np.float64)
+            total_loss += float((np.atleast_1d(g["loss"]) * c).sum())
+            total_acc += float((np.atleast_1d(g["acc"]) * c).sum())
+            count += float(c.sum())
         _log = {
             "learning_rate": self._current_lr(),
             "eval_rfd_loss": total_loss / count,

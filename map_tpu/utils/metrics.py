@@ -57,6 +57,29 @@ def binary_log_loss(y_true: np.ndarray, y_prob: np.ndarray) -> float:
     return float(-np.mean(y_true * np.log(p) + (1.0 - y_true) * np.log(1.0 - p)))
 
 
+def auc_from_histograms(hist_pos: np.ndarray, hist_neg: np.ndarray) -> float:
+    """ROC AUC from per-bucket positive/negative counts (buckets ascending by
+    score). Scores within a bucket are treated as tied (rank-averaged), so this
+    is exact when every bucket holds a single distinct score and otherwise a
+    bucketed estimator with error O(1/num_bins).
+
+    This is the reduction for the streaming-AUC eval mode: the device
+    accumulates the two histograms per batch (`--streaming_auc`) so billion-row
+    evals never materialize per-example scores on the host (reference
+    counterpart: sklearn roc_auc_score over the full split,
+    `code/trainer.py:193-195`).
+    """
+    hist_pos = np.asarray(hist_pos, dtype=np.float64).ravel()
+    hist_neg = np.asarray(hist_neg, dtype=np.float64).ravel()
+    n_pos = hist_pos.sum()
+    n_neg = hist_neg.sum()
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError("auc_from_histograms requires both classes present")
+    cum_neg_below = np.cumsum(hist_neg) - hist_neg
+    u = np.sum(hist_pos * (cum_neg_below + 0.5 * hist_neg))
+    return float(u / (n_pos * n_neg))
+
+
 def sigmoid(x: np.ndarray) -> np.ndarray:
     x = np.asarray(x, dtype=np.float64)
     out = np.empty_like(x)

@@ -1,0 +1,136 @@
+"""Streaming-AUC eval mode + fused multi-batch eval dispatch.
+
+The reference eval loop dispatches one forward per batch and ships every
+logit/prob to the host for sklearn metrics (`code/trainer.py:177-195`). The
+TPU build adds (a) lax.scan-fused eval dispatch (steps_per_call batches per
+device call, mirroring the train stream) and (b) an O(bins) device-side
+histogram reduction so huge evals never materialize per-example scores on the
+host. These tests pin: histogram-AUC accuracy, stacked-vs-unstacked dispatch
+equality, and e2e metric equality between the modes.
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from map_tpu.utils.metrics import (
+    auc_from_histograms,
+    binary_log_loss,
+    roc_auc,
+)
+
+
+def test_auc_from_histograms_matches_exact():
+    rng = np.random.default_rng(0)
+    n, nb = 20000, 32768
+    probs = rng.random(n)
+    labels = (rng.random(n) < probs * 0.8).astype(np.float64)
+    exact = roc_auc(labels, probs)
+    bucket = np.clip((probs * nb).astype(np.int64), 0, nb - 1)
+    hist_pos = np.bincount(bucket, weights=labels, minlength=nb)
+    hist_neg = np.bincount(bucket, weights=1.0 - labels, minlength=nb)
+    approx = auc_from_histograms(hist_pos, hist_neg)
+    assert abs(approx - exact) < 5e-4
+
+
+def test_auc_from_histograms_exact_on_distinct_buckets():
+    # one score per bucket -> the estimator is exactly the Mann-Whitney AUC
+    rng = np.random.default_rng(1)
+    nb = 512
+    labels = (rng.random(nb) < 0.4).astype(np.float64)
+    hist_pos = np.where(labels == 1, 1.0, 0.0)
+    hist_neg = 1.0 - hist_pos
+    scores = (np.arange(nb) + 0.5) / nb
+    assert abs(auc_from_histograms(hist_pos, hist_neg)
+               - roc_auc(labels, scores)) < 1e-12
+
+
+def test_make_multi_eval_matches_per_batch():
+    from map_tpu.train.train_step import make_multi_eval
+
+    def eval_fn(state, batch):
+        return {"s": jnp.sum(state * batch["x"]), "v": batch["x"] * 2.0}
+
+    state = jnp.asarray(3.0)
+    rng = np.random.default_rng(2)
+    batches = [{"x": jnp.asarray(rng.standard_normal(16), jnp.float32)}
+               for _ in range(4)]
+    multi = make_multi_eval(eval_fn)
+    stacked = {"x": jnp.stack([b["x"] for b in batches])}
+    ms = multi(state, stacked)
+    for i, b in enumerate(batches):
+        ref = eval_fn(state, b)
+        np.testing.assert_allclose(ms["s"][i], ref["s"], rtol=1e-6)
+        np.testing.assert_allclose(ms["v"][i], ref["v"], rtol=1e-6)
+
+
+def test_make_multi_eval_rng_folds_absolute_index():
+    from map_tpu.train.train_step import make_multi_eval
+
+    def eval_fn(state, batch, rng):
+        return jax.random.uniform(rng, (4,)) + batch["x"] * 0
+
+    rng_base = jax.random.PRNGKey(7)
+    batches = [{"x": jnp.zeros(4)} for _ in range(3)]
+    multi = make_multi_eval(eval_fn, has_rng=True)
+    stacked = {"x": jnp.stack([b["x"] for b in batches])}
+    # start at absolute batch index 5: stacked run must equal per-batch folds
+    out = multi(None, stacked, rng_base, 5)
+    for i in range(3):
+        ref = eval_fn(None, batches[i], jax.random.fold_in(rng_base, 5 + i))
+        np.testing.assert_array_equal(np.asarray(out[i]), np.asarray(ref))
+
+
+def _run(tmp, synth_dir, extra):
+    from map_tpu.run import main
+
+    args = [
+        "--model_name", "dcnv2", "--output_dir", str(tmp),
+        "--dataset_name", "synth", "--data_dir", synth_dir,
+        "--per_device_train_batch_size", "256",
+        "--per_device_eval_batch_size", "300",  # padded final batch
+        "--embed_size", "8", "--hidden_size", "32", "--num_hidden_layers", "1",
+        "--num_cross_layers", "2", "--logging_steps", "50",
+        "--hidden_dropout_rate", "0.0", "--proj_size", "8",
+        "--learning_rate", "1e-2", "--num_train_epochs", "1",
+        "--lr_sched", "const", "--weight_decay", "0.1",
+    ] + extra
+    assert main(args) == 0
+    log = open(str(tmp) + "/train.log").read()
+    aucs = [float(x) for x in re.findall(r"'eval_auc': ([\d.]+)", log)]
+    lls = [float(x) for x in re.findall(r"'eval_loss': ([\d.]+)", log)]
+    return aucs, lls
+
+
+def test_streaming_eval_matches_exact_e2e(tmp_path, synth_dir):
+    a_exact, l_exact = _run(tmp_path / "exact", synth_dir, [])
+    a_stream, l_stream = _run(tmp_path / "stream", synth_dir,
+                              ["--streaming_auc"])
+    assert len(a_exact) == len(a_stream)
+    for ae, as_ in zip(a_exact, a_stream):
+        assert abs(ae - as_) < 2e-3  # bucketed estimator, 32768 bins
+    for le, ls in zip(l_exact, l_stream):
+        assert abs(le - ls) < 1e-4  # f32 device sum vs f64 host sum
+
+
+def test_fused_eval_dispatch_matches_unfused(tmp_path, synth_dir):
+    a1, l1 = _run(tmp_path / "spc1", synth_dir, ["--steps_per_call", "1"])
+    a8, l8 = _run(tmp_path / "spc8", synth_dir, ["--steps_per_call", "4"])
+    # different steps_per_call changes nothing semantically: same batches,
+    # same per-batch forward, same host-side float64 reduction
+    assert len(a1) == len(a8)
+    for x, y in zip(a1 + l1, a8 + l8):
+        assert abs(x - y) < 1e-6
+
+
+def test_streaming_logloss_equals_exact_formula():
+    # the device ll_sum (softplus form) equals -[y log p + (1-y) log(1-p)]
+    rng = np.random.default_rng(3)
+    logits = rng.standard_normal(1000).astype(np.float32) * 3
+    y = (rng.random(1000) < 0.5).astype(np.float32)
+    per = np.logaddexp(0.0, logits.astype(np.float64)) - y * logits
+    probs = 1.0 / (1.0 + np.exp(-logits.astype(np.float64)))
+    assert abs(per.mean() - binary_log_loss(y, probs)) < 1e-9
