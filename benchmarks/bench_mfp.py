@@ -81,6 +81,8 @@ def main():
         run_variant("xla-scatter", False)
     if which in ("dedup", "both"):
         run_variant("dedup-scatter", False, nce_grad="dedup")
+    if which == "dedup-pallas":
+        run_variant("dedup-pallas", False, nce_grad="dedup_pallas")
     if which == "dedup-uniform":
         run_variant("dedup-scatter-uniform", False, nce_grad="dedup",
                     ids_dist="uniform")

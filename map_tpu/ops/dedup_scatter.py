@@ -81,7 +81,8 @@ def _dedup_compact(flat_ids: jnp.ndarray, g: jnp.ndarray, vocab_size: int,
 
 @partial(jax.jit, static_argnums=(2, 3))
 def dedup_scatter_add(ids: jnp.ndarray, grads: jnp.ndarray, vocab_size: int,
-                      capacities=(1 << 16, DEFAULT_CAPACITY)) -> jnp.ndarray:
+                      capacities=(1 << 15, 1 << 16, DEFAULT_CAPACITY)
+                      ) -> jnp.ndarray:
     """ids (...,) int32, grads (..., E) -> dense (vocab_size, E) f32 gradient.
 
     Equivalent to `jax.ops.segment_sum(grads, ids, vocab_size)` but folds
@@ -110,20 +111,7 @@ def dedup_scatter_add(ids: jnp.ndarray, grads: jnp.ndarray, vocab_size: int,
         return jnp.zeros((vocab_size, e), jnp.float32).at[sids].add(
             sg, indices_are_sorted=True)
 
-    def make(idx):
-        """Nested conds, smallest tier outermost; every branch body is built
-        lazily inside its cond so only the taken tier executes at runtime."""
-        c = tiers[idx]
-        small = scatter_tier(c)
-        if idx == len(tiers) - 1:
-            if c >= n:
-                return small
-            return lambda _: jax.lax.cond(num_unique <= c, small, fallback,
-                                          None)
-        bigger = make(idx + 1)
-        return lambda _: jax.lax.cond(num_unique <= c, small, bigger, None)
-
-    return make(0)(None)
+    return _pick_tier(tiers, num_unique, scatter_tier, fallback, n)
 
 
 @jax.custom_vjp
@@ -171,6 +159,40 @@ gather_dedup.defvjp(_fwd, _bwd)
 # ---------------------------------------------------------------------------
 
 DECODER_CAPACITY = DEFAULT_CAPACITY
+# Scatter/gather cost is linear in the CAPACITY dispatched (v5e measurements,
+# benchmarks/bench_dedup_parts.py: 131k x 33 scatter 20.8 ms vs 65k 10.9 ms),
+# so _pick_tier can choose the smallest tier >= num_unique via nested
+# lax.cond. MEASURED on the canonical MFP step however (num_unique ~111k,
+# benchmarks/bench_mfp.py): the multi-tier program costs ~11 ms MORE than a
+# single-capacity cond (88.3 vs 77.3 ms/step — the extra cond levels defeat
+# fusion), so the default is ONE tier; override DECODER_TIERS for workloads
+# whose unique count is far below capacity.
+DECODER_TIERS = (DECODER_CAPACITY,)
+# When True (set by the NCE decoder under nce_grad='dedup_pallas'), the folded
+# compact scatter runs through the Pallas sorted-unique one-hot-matmul kernel
+# (ops/pallas_scatter.scatter_unique_sorted: 12.5 vs 20.5 ms at the canonical
+# MFP scale, bit-exact) instead of XLA's serialized scatter.
+USE_PALLAS_SCATTER = False
+
+
+def _pick_tier(tiers, num_unique, build_small, build_fallback, n):
+    """Nested conds, smallest tier outermost; each branch body is built lazily
+    inside its cond so only the taken tier executes at runtime. build_small(c)
+    returns the body for capacity c; build_fallback handles num_unique >
+    max(tiers) (never taken when max(tiers) >= n)."""
+
+    def make(idx):
+        c = tiers[idx]
+        small = build_small(c)
+        if idx == len(tiers) - 1:
+            if c >= n:
+                return small
+            return lambda _: jax.lax.cond(num_unique <= c, small,
+                                          build_fallback, None)
+        bigger = make(idx + 1)
+        return lambda _: jax.lax.cond(num_unique <= c, small, bigger, None)
+
+    return make(0)(None)
 
 
 def _sort_ids(flat_ids: jnp.ndarray, capacity: int):
@@ -222,25 +244,29 @@ def _dg_fwd(emb, bias, ids):
     v, e = emb.shape
     flat = ids.reshape(-1).astype(jnp.int32)
     n = flat.shape[0]
-    capacity = min(DECODER_CAPACITY, n)
+    tiers = tuple(sorted({min(c, n) for c in DECODER_TIERS}))
+    capacity = tiers[-1]
     (sids, order, u_of_orig, uids_c, start_pos, end_pos, valid,
      num_unique) = _sort_ids(flat, capacity)
 
-    def unique_path(_):
-        safe_uids = jnp.minimum(uids_c, v - 1)  # sentinels read row v-1, unused
-        compact = jnp.take(emb, safe_uids, axis=0)        # (C, E) small gather
-        return jnp.take(compact, u_of_orig, axis=0)       # small-source expand
+    def unique_tier(c):
+        def run(_):
+            # u_of_orig < num_unique <= c, so the [:c] prefix covers all slots
+            safe_uids = jnp.minimum(uids_c[:c], v - 1)    # sentinels unused
+            compact = jnp.take(emb, safe_uids, axis=0)    # (c, E) small gather
+            cb = jnp.take(bias, safe_uids)                # (c,) bias rows
+            rows = jnp.take(compact, u_of_orig, axis=0)   # small-source expand
+            return rows, jnp.take(cb, u_of_orig)
+
+        return run
 
     def direct_path(_):
-        return jnp.take(emb, flat, axis=0)
+        return jnp.take(emb, flat, axis=0), jnp.take(bias, flat)
 
-    if capacity >= n:
-        rows_flat = unique_path(None)
-    else:
-        rows_flat = jax.lax.cond(num_unique <= capacity, unique_path,
-                                 direct_path, None)
+    rows_flat, b_flat = _pick_tier(tiers, num_unique, unique_tier,
+                                   direct_path, n)
     rows = rows_flat.reshape(*ids.shape, e)
-    b = jnp.take(bias, ids)  # 1-wide: direct gather is as fast as expand
+    b = b_flat.reshape(ids.shape)
     res = (flat, ids.shape, v, sids, order, uids_c, start_pos, end_pos,
            valid, num_unique)
     return (rows, b), res
@@ -255,31 +281,36 @@ def _dg_bwd(res, gout):
     gb = g_b.reshape(-1).astype(jnp.float32)
     n = gr.shape[0]
     capacity = start_pos.shape[0]
+    tiers = tuple(sorted({min(c, n) for c in DECODER_TIERS}))
+    assert tiers[-1] == capacity
 
-    def folded(_):
-        gr_s = jnp.take(gr, order, axis=0)                # 32-wide perm
-        gb_s = jnp.take(gb, order)[:, None]               # 1-wide perm
-        vals_e = _fold_stream(gr_s, start_pos, end_pos, valid)
-        vals_b = _fold_stream(gb_s, start_pos, end_pos, valid)
-        vals = jnp.concatenate([vals_e, vals_b], axis=1)  # (C, E+1) tiny
-        uids_safe = jnp.where(valid, uids_c, jnp.int32(v))  # sentinel -> drop
-        out = jnp.zeros((v, e + 1), jnp.float32).at[uids_safe].add(
-            vals, mode="drop", indices_are_sorted=True)
-        return out[:, :e], out[:, e]
+    gr_s = jnp.take(gr, order, axis=0)                    # 32-wide perm
+    gb_s = jnp.take(gb, order)[:, None]                   # 1-wide perm
+
+    def folded_tier(c):
+        def run(_):
+            vals_e = _fold_stream(gr_s, start_pos, end_pos, valid)
+            vals_b = _fold_stream(gb_s, start_pos, end_pos, valid)
+            vals = jnp.concatenate([vals_e, vals_b], axis=1)  # (C, E+1) tiny
+            uids_safe = jnp.where(valid, uids_c, jnp.int32(v))  # sentinel -> drop
+            if USE_PALLAS_SCATTER:
+                from map_tpu.ops.pallas_scatter import scatter_unique_sorted
+
+                out = scatter_unique_sorted(uids_safe[:c], vals[:c], v)
+            else:
+                out = jnp.zeros((v, e + 1), jnp.float32).at[uids_safe[:c]].add(
+                    vals[:c], mode="drop", indices_are_sorted=True)
+            return out[:, :e], out[:, e]
+
+        return run
 
     def fallback(_):
-        gr_s = jnp.take(gr, order, axis=0)
-        gb_s = jnp.take(gb, order)[:, None]
         g_all = jnp.concatenate([gr_s, gb_s], axis=1)
         out = jnp.zeros((v, e + 1), jnp.float32).at[sids].add(
             g_all, indices_are_sorted=True)
         return out[:, :e], out[:, e]
 
-    if capacity >= n:
-        d_emb, d_bias = folded(None)
-    else:
-        d_emb, d_bias = jax.lax.cond(num_unique <= capacity, folded,
-                                     fallback, None)
+    d_emb, d_bias = _pick_tier(tiers, num_unique, folded_tier, fallback, n)
     return d_emb, d_bias, None
 
 

@@ -61,6 +61,113 @@ def scatter_add(ids: jnp.ndarray, grads: jnp.ndarray, vocab_size: int,
     return _scatter_add_pallas(flat_ids, flat_g, vocab_size, interpret)
 
 
+def scatter_unique_sorted(uids: jnp.ndarray, vals: jnp.ndarray,
+                          vocab_size: int, interpret: bool = False,
+                          rows_per_tile: int = 0,
+                          matmul: str = "highest") -> jnp.ndarray:
+    """Dense (V, E) gradient from a SORTED, DUPLICATE-FREE update stream.
+
+    uids (C,) int32 ascending with sentinels >= vocab_size padding the tail;
+    vals (C, E) f32. This is the scatter stage of the dedup pipeline
+    (ops/dedup_scatter.py): after duplicate folding, each 512-row table tile
+    receives at most 512 updates and they are CONTIGUOUS in the stream, so the
+    kernel runs ONE grid step per output tile — the output is written exactly
+    once (no revisiting, unlike the (chunk,tile) pair grid above) and the two
+    aligned 512-entry superblocks covering the tile's window are selected by
+    scalar-prefetch index maps. Per tile the update is two (512x512)@(512xE)
+    one-hot MXU matmuls, turning XLA's ~140 ns/row serialized scatter into
+    dense compute.
+
+    `matmul`: 'highest' = exact f32 one-hot matmuls; 'bf16x2' = split each
+    value into bf16 hi+lo halves and run two fast-pass matmuls (error ~2^-16
+    relative — far below gradient noise, ~3x fewer MXU passes).
+
+    Reference counterpart: torch's native scatter-add in nn.Embedding backward
+    (`code/nce/index_linear.py:99-106`).
+    """
+    r = rows_per_tile or ROWS_PER_TILE
+    c, e = vals.shape
+    if (not _on_tpu() and not interpret) or c % r \
+            or c < 2 * r or vocab_size < r:
+        safe = jnp.where(uids < vocab_size, uids, vocab_size)
+        return jax.ops.segment_sum(vals, safe, num_segments=vocab_size + 1,
+                                   indices_are_sorted=True)[:vocab_size]
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    v_pad = _round_up(vocab_size, r)
+    num_tiles = v_pad // r
+    nblk = c // r
+    # sentinels sort to the tail; remap to v_pad so they land outside every
+    # tile's [lo, lo+r) range (vocab_size itself may fall inside the last tile)
+    uids = jnp.where(uids < vocab_size, uids, v_pad).astype(jnp.int32)
+
+    # window start of each tile; ids unique => window length <= r, so the two
+    # aligned r-blocks at [blk0, blk0+r), [blk0+r, blk0+2r) always cover it
+    tile_lo = jnp.arange(num_tiles, dtype=jnp.int32) * r
+    start = jnp.searchsorted(uids, tile_lo).astype(jnp.int32)
+    blk0 = jnp.clip(start // r, 0, nblk - 2)
+    blk1 = blk0 + 1
+
+    ids3d = uids.reshape(nblk, 1, r)
+    vals3d = vals.reshape(nblk, r, e)
+
+    def kernel(b0_ref, b1_ref, ids0, ids1, v0, v1, out_ref):
+        p = pl.program_id(0)
+        lo = p * r
+
+        def contrib(idx, v):
+            inside = (idx >= lo) & (idx < lo + r)
+            local = jnp.where(inside, idx - lo, -1)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
+            if matmul == "bf16x2":
+                # one-hot is exact in bf16; split v into hi+lo bf16 halves so
+                # two fast-pass matmuls reconstruct ~f32 (error ~2^-16 rel)
+                onehot = (rows == local[None, :]).astype(jnp.bfloat16)
+                v_hi = v.astype(jnp.bfloat16)
+                v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                return (jnp.dot(onehot, v_hi,
+                                preferred_element_type=jnp.float32) +
+                        jnp.dot(onehot, v_lo,
+                                preferred_element_type=jnp.float32))
+            onehot = (rows == local[None, :]).astype(jnp.float32)
+            return jnp.dot(onehot, v,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+
+        out_ref[:] = (contrib(ids0[0, 0, :], v0[0]) +
+                      contrib(ids1[0, 0, :], v1[0]))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # blk0, blk1
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, r), lambda p, b0, b1: (b0[p], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r), lambda p, b0, b1: (b1[p], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, e), lambda p, b0, b1: (b0[p], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, e), lambda p, b0, b1: (b1[p], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r, e), lambda p, b0, b1: (p, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((v_pad, e), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_tiles * 2 * r * r * e,
+            bytes_accessed=4 * (2 * c * (e + 1) + v_pad * e),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(blk0, blk1, ids3d, ids3d, vals3d, vals3d)
+    return out[:vocab_size]
+
+
 def _scatter_add_pallas(ids: jnp.ndarray, g: jnp.ndarray, vocab_size: int,
                         interpret: bool) -> jnp.ndarray:
     from jax.experimental import pallas as pl

@@ -1,0 +1,98 @@
+"""Duplicate-folding scatter pipeline (ops/dedup_scatter.py): gradient
+equality with the plain gather/segment-sum oracle across capacity tiers,
+including the fallback when the batch has more distinct ids than any tier.
+
+Reference counterpart: torch scatter-add under nn.Embedding backward
+(`code/nce/index_linear.py:99-106`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from map_tpu.ops import dedup_scatter as ds
+
+
+def _oracle_scatter(ids, g, v):
+    return jax.ops.segment_sum(g.reshape(-1, g.shape[-1]),
+                               ids.reshape(-1), num_segments=v)
+
+
+@pytest.mark.parametrize("num_distinct,capacities", [
+    (7, (16, 64)),      # fits smallest tier
+    (40, (16, 64)),     # second tier
+    (300, (16, 64)),    # fallback: more unique than max capacity
+])
+def test_dedup_scatter_add_matches_segment_sum(num_distinct, capacities):
+    rng = np.random.default_rng(num_distinct)
+    v, n, e = 500, 2048, 8
+    pool = rng.choice(v, num_distinct, replace=False)
+    ids = jnp.asarray(rng.choice(pool, size=n), jnp.int32)
+    g = jnp.asarray(rng.standard_normal((n, e)), jnp.float32)
+    out = ds.dedup_scatter_add(ids, g, v, capacities)
+    ref = _oracle_scatter(ids, g, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("num_distinct", [5, 60, 3000])
+def test_decoder_gather_grads_match_oracle(num_distinct, monkeypatch):
+    # force small tiers so each case exercises a different branch
+    monkeypatch.setattr(ds, "DECODER_TIERS", (16, 128))
+    rng = np.random.default_rng(num_distinct)
+    v, e = 4000, 8
+    b, m, k1 = 16, 3, 26
+    pool = rng.choice(v, num_distinct, replace=False)
+    ids = jnp.asarray(rng.choice(pool, size=(b, m, k1)), jnp.int32)
+    emb = jnp.asarray(rng.standard_normal((v, e)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(v), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((b, m, e)), jnp.float32)
+
+    def loss_dedup(emb, bias):
+        rows, bb = ds.decoder_gather(emb, bias, ids)
+        logits = jnp.einsum("bmke,bme->bmk", rows, x) + bb
+        return jnp.sum(jnp.tanh(logits))
+
+    def loss_oracle(emb, bias):
+        rows = jnp.take(emb, ids, axis=0)
+        bb = jnp.take(bias, ids)
+        logits = jnp.einsum("bmke,bme->bmk", rows, x) + bb
+        return jnp.sum(jnp.tanh(logits))
+
+    out_d = jax.jit(loss_dedup)(emb, bias)
+    out_o = jax.jit(loss_oracle)(emb, bias)
+    np.testing.assert_allclose(float(out_d), float(out_o), rtol=1e-5)
+
+    gd = jax.jit(jax.grad(loss_dedup, argnums=(0, 1)))(emb, bias)
+    go = jax.jit(jax.grad(loss_oracle, argnums=(0, 1)))(emb, bias)
+    np.testing.assert_allclose(np.asarray(gd[0]), np.asarray(go[0]),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(gd[1]), np.asarray(go[1]),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_decoder_gather_pallas_scatter_mode(monkeypatch):
+    """nce_grad='dedup_pallas' wiring: off-TPU the kernel falls back to
+    segment_sum, so gradients must still match the oracle exactly."""
+    monkeypatch.setattr(ds, "USE_PALLAS_SCATTER", True)
+    rng = np.random.default_rng(0)
+    v, e = 2000, 8
+    ids = jnp.asarray(rng.integers(0, v, (8, 3, 6)), jnp.int32)
+    emb = jnp.asarray(rng.standard_normal((v, e)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(v), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((8, 3, e)), jnp.float32)
+
+    def loss(emb, bias, gather):
+        rows, bb = gather(emb, bias, ids)
+        return jnp.sum(jnp.tanh(jnp.einsum("bmke,bme->bmk", rows, x) + bb))
+
+    gd = jax.grad(lambda e_, b_: loss(e_, b_, ds.decoder_gather),
+                  argnums=(0, 1))(emb, bias)
+    go = jax.grad(lambda e_, b_: loss(
+        e_, b_, lambda em, bi, i: (jnp.take(em, i, axis=0), jnp.take(bi, i))),
+        argnums=(0, 1))(emb, bias)
+    np.testing.assert_allclose(np.asarray(gd[0]), np.asarray(go[0]),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(gd[1]), np.asarray(go[1]),
+                               rtol=3e-4, atol=3e-4)

@@ -48,3 +48,50 @@ def test_small_fallback():
     g = jnp.ones((3, 4), jnp.float32)
     out = scatter_add(ids, g, 10)
     assert float(out[2, 0]) == 2.0
+
+
+def test_scatter_unique_sorted_matches_oracle():
+    from map_tpu.ops.pallas_scatter import scatter_unique_sorted
+
+    rng = np.random.default_rng(3)
+    v, e, c = 4096, 16, 1024  # c = 2 tiles of 512
+    nu = 700
+    uids_np = np.sort(rng.choice(v, nu, replace=False)).astype(np.int32)
+    uids = jnp.asarray(np.concatenate([uids_np,
+                                       np.full(c - nu, v, np.int32)]))
+    vals = jnp.asarray(rng.normal(size=(c, e)), jnp.float32)
+    vals = vals.at[nu:].set(0.0)
+    ref = jax.ops.segment_sum(vals[:nu], uids[:nu], num_segments=v)
+    out = scatter_unique_sorted(uids, vals, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_scatter_unique_sorted_dense_window():
+    """Every id of a contiguous block present: windows hit the 512 bound."""
+    from map_tpu.ops.pallas_scatter import scatter_unique_sorted
+
+    rng = np.random.default_rng(4)
+    v, e, c = 2048, 8, 2048
+    uids = jnp.arange(c, dtype=jnp.int32)  # ids 0..2047 all unique
+    vals = jnp.asarray(rng.normal(size=(c, e)), jnp.float32)
+    ref = jax.ops.segment_sum(vals, uids, num_segments=v)
+    out = scatter_unique_sorted(uids, vals, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_scatter_unique_sorted_vocab_not_tile_multiple():
+    from map_tpu.ops.pallas_scatter import scatter_unique_sorted
+
+    rng = np.random.default_rng(5)
+    v, e, c = 3000, 8, 1024  # v % 512 != 0; sentinel v falls in last tile range
+    nu = 400
+    uids_np = np.sort(rng.choice(v, nu, replace=False)).astype(np.int32)
+    uids = jnp.asarray(np.concatenate([uids_np,
+                                       np.full(c - nu, v, np.int32)]))
+    vals = jnp.asarray(rng.normal(size=(c, e)), jnp.float32)
+    ref = jax.ops.segment_sum(vals[:nu], uids[:nu], num_segments=v)
+    out = scatter_unique_sorted(uids, vals, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
