@@ -47,6 +47,12 @@ def load_model_file(path: str) -> Dict[str, Any]:
         return serialization.msgpack_restore(f.read())
 
 
+def save_model_file(variables: Dict[str, Any], path: str) -> None:
+    host_vars = serialization.to_state_dict(variables)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(_tree_map_np(host_vars)))
+
+
 def _tree_map_np(tree: Any) -> Any:
     if isinstance(tree, dict):
         return {k: _tree_map_np(v) for k, v in tree.items()}
