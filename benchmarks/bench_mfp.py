@@ -12,7 +12,7 @@ import jax
 
 
 def run_variant(name, fast_grad, shared_noise=False, nce_grad="xla",
-                ids_dist="zipf"):
+                ids_dist="zipf", per_field=False):
     from map_tpu import models
     from map_tpu.config import Config, TrainingArguments
     from map_tpu.objectives.alias import build_alias_table, noise_distribution
@@ -57,10 +57,25 @@ def run_variant(name, fast_grad, shared_noise=False, nce_grad="xla",
         "input_ids": ids_np,
         "labels": np.zeros(b, np.float32),
         "weight": np.ones(b, np.float32)})
+    pf = None
+    if per_field:
+        from map_tpu.objectives.alias import build_per_field_alias
+
+        counts_pf = (probs * 1e9)
+        idx_low = (np.arange(f) * (v // f)).astype(np.int64)
+        idx_high = idx_low + v // f
+        pf_prob, pf_alias, logq, lnz = build_per_field_alias(
+            counts_pf, idx_low, idx_high)
+        cfg.logprob_noise = logq
+        sizes = (idx_high - idx_low).astype(np.int32)
+        pf = (pf_prob, pf_alias, idx_low.astype(np.int32), sizes, lnz)
+        prob_t, alias_t = pf_prob, pf_alias
+    else:
+        prob_t, alias_t = build_alias_table(probs)
     state = ts.create_train_state(model, cfg, args, tx, jax.random.PRNGKey(0), batch)
-    prob_t, alias_t = build_alias_table(probs)
     step, _ = ts.make_mfp_steps(model, cfg, args, tx, jax.random.PRNGKey(1),
-                                prob_t, alias_t, cfg.logprob_noise)
+                                prob_t, alias_t, cfg.logprob_noise,
+                                per_field=pf)
     for _ in range(5):
         state, m = step(state, batch)
     float(m["loss"])
@@ -90,6 +105,9 @@ def main():
         run_variant("pallas-scatter", True)
     if which == "shared":
         run_variant("shared-noise", False, shared_noise=True)
+    if which == "pf-shared":
+        run_variant("per-field-shared", False, shared_noise=True,
+                    per_field=True)
 
 
 if __name__ == "__main__":

@@ -74,6 +74,23 @@ class CTRModel(nn.Module):
         selected = jnp.take_along_axis(enc, masked_index[..., None], axis=1)
         return self.mfp_decoder.shared_noise_logits(selected, target_idx, noise_idx)
 
+    def mfp_per_field_shared_logits(self, input_ids: jnp.ndarray,
+                                    masked_index: jnp.ndarray,
+                                    target_idx: jnp.ndarray,
+                                    noise_f: jnp.ndarray,
+                                    train: bool = False) -> jnp.ndarray:
+        """Field-conditional shared-noise scoring (TPU-native mode): one
+        k-noise set per FIELD per step; the masked position index IS the
+        field index, so it doubles as the field selector. Returns (B, M, 1+k).
+        """
+        c = self.config
+        final_vec = self.backbone(input_ids, train)
+        b = final_vec.shape[0]
+        enc = self.feat_encoder(final_vec).reshape(b, c.num_fields, c.proj_size)
+        selected = jnp.take_along_axis(enc, masked_index[..., None], axis=1)
+        return self.mfp_decoder.per_field_shared_noise_logits(
+            selected, target_idx, masked_index, noise_f)
+
     def mfp_full_scores(self, input_ids: jnp.ndarray, masked_index: jnp.ndarray,
                         train: bool = False) -> jnp.ndarray:
         """Exact scores over the full vocabulary for 'full' CE mode

@@ -111,6 +111,37 @@ class IndexLinearDecoder(nn.Module):
         noise_score = jnp.einsum("bme,ke->bmk", inputs, n_rows) + n_bias
         return jnp.concatenate([target_score[..., None], noise_score], axis=-1)
 
+    def per_field_shared_noise_logits(self, inputs: jnp.ndarray,
+                                      target_idx: jnp.ndarray,
+                                      fields: jnp.ndarray,
+                                      noise_f: jnp.ndarray) -> jnp.ndarray:
+        """Field-conditional noise at shared-noise speed (TPU-native mode,
+        no reference counterpart): ONE k-noise set per FIELD per step.
+
+        inputs (B, M, E), target_idx (B, M), fields (B, M) = masked field of
+        each position, noise_f (F, k) global ids -> logits (B, M, 1+k).
+
+        The noise side is a dense (B*M, E) @ (E, F*k) matmul over ALL fields'
+        noise sets (F*k rows is tiny — 600 at the canonical config), then each
+        position keeps its own field's block via a one-hot contraction — no
+        per-row-priced candidate gathers, so this runs at per_word=False speed
+        while sampling negatives from the masked field's own id block (the
+        north-star upgrade over the reference's global unigram,
+        SURVEY.md §2.4)."""
+        from map_tpu.ops.embedding import embedding_lookup
+
+        t_rows = embedding_lookup(self.emb, target_idx)  # (B, M, E)
+        t_bias = embedding_lookup(self.bias[:, None], target_idx)[..., 0]
+        target_score = jnp.einsum("bme,bme->bm", inputs, t_rows) + t_bias
+        f, k = noise_f.shape
+        n_rows = jnp.take(self.emb, noise_f.reshape(-1),
+                          axis=0).reshape(f, k, -1)       # (F, k, E) tiny
+        n_bias = jnp.take(self.bias, noise_f)             # (F, k)
+        all_scores = jnp.einsum("bme,fke->bmfk", inputs, n_rows) + n_bias
+        onehot = jax.nn.one_hot(fields, f, dtype=all_scores.dtype)  # (B,M,F)
+        noise_score = jnp.einsum("bmfk,bmf->bmk", all_scores, onehot)
+        return jnp.concatenate([target_score[..., None], noise_score], axis=-1)
+
     def full_scores(self, inputs: jnp.ndarray) -> jnp.ndarray:
         """Exact scores over the whole vocabulary (index_linear.py:145-151)."""
         return jnp.einsum("bme,ve->bmv", inputs, self.emb) + self.bias

@@ -285,12 +285,14 @@ def make_mfp_steps(model, config, args, tx, base_rng,
         return loss, acc_count, new_bs
 
     shared_noise = bool(getattr(args, "pt_shared_noise", False))
-    if shared_noise:
-        assert per_field is None, \
-            "pt_shared_noise and pt_per_field_noise are mutually exclusive"
 
     def _shared_forward(state, params, batch, rng, train):
-        """per_word=False: one k-noise set per step (nce_loss.py:152-153)."""
+        """per_word=False: one k-noise set per step (nce_loss.py:152-153).
+        Combined with per-field sampling: one k-noise set per FIELD per step
+        (field-conditional negatives at per_word=False speed — TPU-native
+        mode, no reference counterpart)."""
+        if per_field is not None:
+            return _pf_shared_forward(state, params, batch, rng, train)
         k_mask, k_noise, k_drop = jax.random.split(rng, 3)
         corrupted, labels, masked_index = corruption.mfp_corrupt(
             k_mask, batch["input_ids"], mask_num, args.sampling_method)
@@ -319,6 +321,46 @@ def make_mfp_steps(model, config, args, tx, base_rng,
         noise_logq = jnp.broadcast_to(jnp.take(logprob_noise, noise)[None, None, :],
                                       (b, mask_num, k))
         cand_logq = jnp.concatenate([target_logq[..., None], noise_logq], axis=-1)
+        loss = _loss_from_logits(logits, candidates, cand_logq, batch["weight"])
+        acc_count = mfp_accuracy_count(logits, batch["weight"])
+        return loss, acc_count, new_bs
+
+    def _pf_shared_forward(state, params, batch, rng, train):
+        """Per-field shared noise: draw (F, k) ids — one set per field — and
+        score with the dense all-fields matmul + one-hot field selection."""
+        k_mask, k_noise, k_drop = jax.random.split(rng, 3)
+        corrupted, labels, masked_index = corruption.mfp_corrupt(
+            k_mask, batch["input_ids"], mask_num, args.sampling_method)
+        num_fields = int(config.num_fields)
+        all_fields = jnp.arange(num_fields, dtype=jnp.int32)
+        noise_f, noise_logq_f = per_field_alias_draw_logq(
+            k_noise, fused_tab, pf_lo, pf_sizes, all_fields, k)  # (F, k)
+        variables = {"params": params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        kwargs = dict(method=model.mfp_per_field_shared_logits, train=train)
+        if train:
+            kwargs["rngs"] = {"dropout": k_drop}
+        if state.batch_stats and train:
+            logits, mutated = model.apply(variables, corrupted, masked_index,
+                                          labels, noise_f,
+                                          mutable=["batch_stats"], **kwargs)
+            new_bs = mutated["batch_stats"]
+        else:
+            logits = model.apply(variables, corrupted, masked_index, labels,
+                                 noise_f, **kwargs)
+            new_bs = state.batch_stats
+        # logq: target from the per-field logq vector; noise via the same
+        # one-hot field selection the scoring used (no per-row gathers)
+        target_logq = jnp.take(logprob_noise, labels)          # (B, M)
+        onehot = jax.nn.one_hot(masked_index, num_fields,
+                                dtype=noise_logq_f.dtype)      # (B, M, F)
+        noise_logq = jnp.einsum("fk,bmf->bmk", noise_logq_f, onehot)
+        cand_logq = jnp.concatenate([target_logq[..., None], noise_logq],
+                                    axis=-1)
+        candidates = jnp.concatenate(
+            [labels[..., None],
+             jnp.zeros((labels.shape[0], mask_num, k), jnp.int32)], axis=-1)
         loss = _loss_from_logits(logits, candidates, cand_logq, batch["weight"])
         acc_count = mfp_accuracy_count(logits, batch["weight"])
         return loss, acc_count, new_bs
