@@ -72,6 +72,11 @@ class TrainingArguments:
     prefetch_batches: int = 2    # async host->device batch prefetch depth
     use_pallas: bool = True      # enable Pallas kernels on the hot paths
     compute_dtype: str = "float32"  # float32 | bfloat16 for activations
+    # Lane-packed table storage (V, E) -> (V/p, p*E), p = 128 // E: removes
+    # the (8,128)-tile lane padding XLA pays on narrow tables, cutting the
+    # dense AdamW table-update HBM traffic by p (map_tpu.ops.packed_table).
+    # Bit-identical math per element; changes checkpointed param shapes.
+    packed_tables: bool = False
     table_sharding: str = "auto"  # auto | replicated | rows
     mock_devices: int = 0        # >0: force CPU with N virtual devices (testing)
     # Streaming eval: the device reduces each eval batch to two score
@@ -269,4 +274,5 @@ def build_config(model_args: ModelArguments, training_args: TrainingArguments,
     d["feat_num_per_field"] = dataset.feat_num_per_field
     d["use_pallas"] = training_args.use_pallas
     d["compute_dtype"] = training_args.compute_dtype
+    d["packed_tables"] = training_args.packed_tables
     return Config.from_dict(d)

@@ -47,6 +47,7 @@ def _embeddings(config: Any, name: str = "embed") -> Embeddings:
         layer_norm_eps=getattr(config, "layer_norm_eps", 1e-12),
         dropout_rate=getattr(config, "embed_dropout_rate", 0.0),
         dtype=_dtype(config),
+        packed=bool(getattr(config, "packed_tables", False)),
         name=name,
     )
 

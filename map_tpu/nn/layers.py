@@ -86,17 +86,32 @@ class Embeddings(nn.Module):
     layer_norm_eps: float = 1e-12
     dropout_rate: float = 0.0
     dtype: Any = None
+    packed: bool = False  # lane-packed (V/p, p*E) storage, map_tpu.ops.packed_table
 
     @nn.compact
     def __call__(self, input_ids, train: bool = False):
-        table = self.param(
-            "embedding",
-            embedding_init(self.num_fields, self.embed_size),
-            (self.input_size, self.embed_size),
-        )
-        from map_tpu.ops.embedding import embedding_lookup
+        init = embedding_init(self.num_fields, self.embed_size)
+        if self.packed:
+            from map_tpu.ops.packed_table import (
+                pack_factor, pack_table, packed_lookup, packed_shape)
 
-        emb = embedding_lookup(table, input_ids)
+            p = pack_factor(self.embed_size)
+            pshape = packed_shape(self.input_size, self.embed_size)
+
+            def packed_init(key, shape, dtype=jnp.float32):
+                # same element stream as the flat init, relocated
+                return pack_table(
+                    init(key, (shape[0] * p, self.embed_size)).astype(dtype),
+                    self.embed_size)
+
+            table = self.param("embedding", packed_init, pshape)
+            emb = packed_lookup(table, input_ids, self.embed_size)
+        else:
+            table = self.param(
+                "embedding", init, (self.input_size, self.embed_size))
+            from map_tpu.ops.embedding import embedding_lookup
+
+            emb = embedding_lookup(table, input_ids)
         if self.dtype is not None:
             emb = emb.astype(self.dtype)
         if self.embed_norm:

@@ -53,15 +53,68 @@ class IndexLinearDecoder(nn.Module):
 
     def setup(self):
         stdv = 1.0 / math.sqrt(self.proj_size)
-        self.emb = self.param("emb", uniform_scale_init(stdv),
-                              (self.input_size, self.proj_size))
         cfg = self.config
+        # lane-packed storage (map_tpu.ops.packed_table): emb (V/pe, pe*E),
+        # bias (V/128, 128). Bit-identical math per element; the compact
+        # backward scatters write 128-lane rows (~6x faster on TPU).
+        self.packed = bool(getattr(cfg, "packed_tables", False))
+        flat_init = uniform_scale_init(stdv)
 
-        def bias_init(key, shape, dtype=jnp.float32):
+        def bias_flat(shape, dtype=jnp.float32):
             # unigram prior + lnZ (index_linear.py:41-48)
             return jnp.asarray(cfg.logprob_noise + cfg.norm_term, dtype=dtype)
 
-        self.bias = self.param("bias", bias_init, (self.input_size,))
+        if self.packed:
+            from map_tpu.ops.packed_table import (
+                pack_factor, pack_table, packed_shape)
+
+            pe = pack_factor(self.proj_size)
+
+            def emb_init(key, shape, dtype=jnp.float32):
+                return pack_table(
+                    flat_init(key, (shape[0] * pe, self.proj_size), dtype),
+                    self.proj_size)
+
+            def bias_init(key, shape, dtype=jnp.float32):
+                return pack_table(bias_flat((self.input_size,), dtype)[:, None],
+                                  1)
+
+            self.emb = self.param(
+                "emb", emb_init, packed_shape(self.input_size, self.proj_size))
+            self.bias = self.param(
+                "bias", bias_init, packed_shape(self.input_size, 1))
+        else:
+            self.emb = self.param("emb", flat_init,
+                                  (self.input_size, self.proj_size))
+            self.bias = self.param(
+                "bias", lambda key, shape, dtype=jnp.float32:
+                bias_flat(shape, dtype), (self.input_size,))
+
+    def _lookup_rows(self, ids):
+        """(...,) ids -> ((..., E) rows, (...,) bias), storage-agnostic."""
+        from map_tpu.ops.embedding import embedding_lookup
+
+        if self.packed:
+            from map_tpu.ops.packed_table import packed_lookup
+
+            return (packed_lookup(self.emb, ids, self.proj_size),
+                    packed_lookup(self.bias, ids, 1)[..., 0])
+        return (embedding_lookup(self.emb, ids),
+                embedding_lookup(self.bias[:, None], ids)[..., 0])
+
+    def _flat_emb(self):
+        if self.packed:
+            from map_tpu.ops.packed_table import unpack_table
+
+            return unpack_table(self.emb, self.input_size, self.proj_size)
+        return self.emb
+
+    def _flat_bias(self):
+        if self.packed:
+            from map_tpu.ops.packed_table import unpack_table
+
+            return unpack_table(self.bias, self.input_size, 1)[:, 0]
+        return self.bias
 
     def __call__(self, inputs: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
         """inputs (B, M, E), indices (B, M, C) -> logits (B, M, C).
@@ -73,7 +126,6 @@ class IndexLinearDecoder(nn.Module):
         sort/cumsum pass for both tables. --pt_shared_noise (the reference's
         per_word=False variant) remains the fastest configuration.
         """
-        from map_tpu.ops.embedding import embedding_lookup
         from map_tpu.parallel.context import table_mesh
 
         nce_grad = getattr(self.config, "nce_grad", "dedup")
@@ -84,11 +136,15 @@ class IndexLinearDecoder(nn.Module):
             # sorted-unique one-hot-matmul kernel (12.5 vs 20.5 ms at MFP
             # scale, bit-exact) when 'dedup_pallas' is selected
             dedup_scatter.USE_PALLAS_SCATTER = (nce_grad == "dedup_pallas")
-            rows, b = dedup_scatter.decoder_gather(self.emb, self.bias,
-                                                   indices)
+            if self.packed:
+                rows, b = dedup_scatter.decoder_gather_packed(
+                    self.emb, self.bias, indices, self.proj_size,
+                    self.input_size)
+            else:
+                rows, b = dedup_scatter.decoder_gather(self.emb, self.bias,
+                                                       indices)
         else:
-            rows = embedding_lookup(self.emb, indices)
-            b = embedding_lookup(self.bias[:, None], indices)[..., 0]
+            rows, b = self._lookup_rows(indices)
         return jnp.einsum("bme,bmce->bmc", inputs, rows) + b
 
     def shared_noise_logits(self, inputs: jnp.ndarray, target_idx: jnp.ndarray,
@@ -101,13 +157,9 @@ class IndexLinearDecoder(nn.Module):
         matmul and the backward scatter shrinks from B*M*(1+k) rows to B*M
         target rows + k noise rows — the fast configuration on TPU.
         """
-        from map_tpu.ops.embedding import embedding_lookup
-
-        t_rows = embedding_lookup(self.emb, target_idx)  # (B, M, E)
-        t_bias = embedding_lookup(self.bias[:, None], target_idx)[..., 0]
+        t_rows, t_bias = self._lookup_rows(target_idx)  # (B, M, E), (B, M)
         target_score = jnp.einsum("bme,bme->bm", inputs, t_rows) + t_bias
-        n_rows = jnp.take(self.emb, noise_idx, axis=0)                   # (k,E)
-        n_bias = jnp.take(self.bias, noise_idx)                          # (k,)
+        n_rows, n_bias = self._lookup_rows(noise_idx)   # (k, E), (k,) tiny
         noise_score = jnp.einsum("bme,ke->bmk", inputs, n_rows) + n_bias
         return jnp.concatenate([target_score[..., None], noise_score], axis=-1)
 
@@ -128,15 +180,12 @@ class IndexLinearDecoder(nn.Module):
         while sampling negatives from the masked field's own id block (the
         north-star upgrade over the reference's global unigram,
         SURVEY.md §2.4)."""
-        from map_tpu.ops.embedding import embedding_lookup
-
-        t_rows = embedding_lookup(self.emb, target_idx)  # (B, M, E)
-        t_bias = embedding_lookup(self.bias[:, None], target_idx)[..., 0]
+        t_rows, t_bias = self._lookup_rows(target_idx)  # (B, M, E), (B, M)
         target_score = jnp.einsum("bme,bme->bm", inputs, t_rows) + t_bias
         f, k = noise_f.shape
-        n_rows = jnp.take(self.emb, noise_f.reshape(-1),
-                          axis=0).reshape(f, k, -1)       # (F, k, E) tiny
-        n_bias = jnp.take(self.bias, noise_f)             # (F, k)
+        n_flat, nb_flat = self._lookup_rows(noise_f.reshape(-1))  # tiny
+        n_rows = n_flat.reshape(f, k, -1)                 # (F, k, E)
+        n_bias = nb_flat.reshape(f, k)                    # (F, k)
         all_scores = jnp.einsum("bme,fke->bmfk", inputs, n_rows) + n_bias
         onehot = jax.nn.one_hot(fields, f, dtype=all_scores.dtype)  # (B,M,F)
         noise_score = jnp.einsum("bmfk,bmf->bmk", all_scores, onehot)
@@ -144,7 +193,8 @@ class IndexLinearDecoder(nn.Module):
 
     def full_scores(self, inputs: jnp.ndarray) -> jnp.ndarray:
         """Exact scores over the whole vocabulary (index_linear.py:145-151)."""
-        return jnp.einsum("bme,ve->bmv", inputs, self.emb) + self.bias
+        return (jnp.einsum("bme,ve->bmv", inputs, self._flat_emb())
+                + self._flat_bias())
 
 
 def nce_loss(model_logits: jnp.ndarray, noise_logprobs: jnp.ndarray,

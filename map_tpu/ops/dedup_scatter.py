@@ -315,3 +315,116 @@ def _dg_bwd(res, gout):
 
 
 decoder_gather.defvjp(_dg_fwd, _dg_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Lane-packed variant (map_tpu.ops.packed_table): emb stored (V/pe, pe*E) and
+# bias (V/pb, pb), pe = 128 // E, pb = 128. Same unique-once forward and
+# folded backward, but the compact scatters write 128-lane rows — XLA's
+# scatter is ~6x faster per row at 128 lanes than at narrow rows (measured,
+# benchmarks/bench_packed_probe.py: 98k-row scatter 10.9 ms at 16 lanes vs
+# 1.9 ms at 128), so the two packed scatters beat the one merged narrow one.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def decoder_gather_packed(emb_packed: jnp.ndarray, bias_packed: jnp.ndarray,
+                          ids: jnp.ndarray, embed_size: int, vocab: int):
+    """Packed-storage twin of decoder_gather. emb_packed (V/pe, pe*E),
+    bias_packed (V/pb, pb); returns rows (..., E) and bias scalars (...,)."""
+    from map_tpu.ops.packed_table import packed_lookup
+
+    rows = packed_lookup(emb_packed, ids, embed_size)
+    b = packed_lookup(bias_packed, ids, 1)[..., 0]
+    return rows, b
+
+
+def _dgp_fwd(emb_packed, bias_packed, ids, embed_size, vocab):
+    from map_tpu.ops.packed_table import pack_factor
+
+    e = embed_size
+    pe = pack_factor(e)
+    pb = bias_packed.shape[1]
+    flat = ids.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    tiers = tuple(sorted({min(c, n) for c in DECODER_TIERS}))
+    capacity = tiers[-1]
+    (sids, order, u_of_orig, uids_c, start_pos, end_pos, valid,
+     num_unique) = _sort_ids(flat, capacity)
+
+    def _gather_at(idx):
+        sub_e = jax.nn.one_hot(idx % pe, pe, dtype=emb_packed.dtype)
+        re = jnp.take(emb_packed, idx // pe, axis=0).reshape(-1, pe, e)
+        rows = jnp.einsum("cp,cpe->ce", sub_e, re)
+        sub_b = jax.nn.one_hot(idx % pb, pb, dtype=bias_packed.dtype)
+        rb = jnp.take(bias_packed, idx // pb, axis=0)
+        return rows, jnp.einsum("cp,cp->c", sub_b, rb)
+
+    def unique_tier(c):
+        def run(_):
+            safe_uids = jnp.minimum(uids_c[:c], vocab - 1)
+            compact, cb = _gather_at(safe_uids)
+            return (jnp.take(compact, u_of_orig, axis=0),
+                    jnp.take(cb, u_of_orig))
+
+        return run
+
+    def direct_path(_):
+        return _gather_at(flat)
+
+    rows_flat, b_flat = _pick_tier(tiers, num_unique, unique_tier,
+                                   direct_path, n)
+    rows = rows_flat.reshape(*ids.shape, e)
+    b = b_flat.reshape(ids.shape)
+    res = (flat, emb_packed.shape, bias_packed.shape, sids, order, uids_c,
+           start_pos, end_pos, valid, num_unique)
+    return (rows, b), res
+
+
+def _dgp_bwd(embed_size, vocab, res, gout):
+    from map_tpu.ops.packed_table import expand_to_packed, pack_factor
+
+    (flat, emb_shape, bias_shape, sids, order, uids_c, start_pos, end_pos,
+     valid, num_unique) = res
+    e = embed_size
+    pe = pack_factor(e)
+    pb = bias_shape[1]
+    g_rows, g_b = gout
+    gr = g_rows.reshape(-1, e).astype(jnp.float32)
+    gb = g_b.reshape(-1).astype(jnp.float32)
+    n = gr.shape[0]
+    capacity = start_pos.shape[0]
+    tiers = tuple(sorted({min(c, n) for c in DECODER_TIERS}))
+    assert tiers[-1] == capacity
+
+    gr_s = jnp.take(gr, order, axis=0)
+    gb_s = jnp.take(gb, order)[:, None]
+
+    def _scatter_at(idx, vals_e, vals_b, sorted_ids):
+        # sentinel ids (== vocab) land at physical row vocab//p, outside both
+        # packed tables (their row counts are ceil(vocab/p)) -> mode="drop"
+        wide_e = expand_to_packed(vals_e, idx % pe, pe)
+        d_emb = jnp.zeros(emb_shape, jnp.float32).at[idx // pe].add(
+            wide_e, mode="drop", indices_are_sorted=sorted_ids)
+        wide_b = expand_to_packed(vals_b, idx % pb, pb)
+        d_bias = jnp.zeros(bias_shape, jnp.float32).at[idx // pb].add(
+            wide_b, mode="drop", indices_are_sorted=sorted_ids)
+        return d_emb, d_bias
+
+    def folded_tier(c):
+        def run(_):
+            vals_e = _fold_stream(gr_s, start_pos, end_pos, valid)
+            vals_b = _fold_stream(gb_s, start_pos, end_pos, valid)
+            uids_safe = jnp.where(valid, uids_c, jnp.int32(vocab))
+            return _scatter_at(uids_safe[:c], vals_e[:c], vals_b[:c], True)
+
+        return run
+
+    def fallback(_):
+        return _scatter_at(sids, gr_s, gb_s, True)
+
+    d_emb, d_bias = _pick_tier(tiers, num_unique, folded_tier, fallback, n)
+    return d_emb, d_bias, None
+
+
+decoder_gather_packed.defvjp(_dgp_fwd, _dgp_bwd)

@@ -1,0 +1,94 @@
+"""Lane-packed embedding table storage: (V, E) stored as (V/p, p*E), p=128//E.
+
+XLA:TPU lays arrays out in (8, 128) tiles, so a table whose row width is
+below 128 lanes is physically padded to 128 — a (1M, 16) f32 table occupies
+8x its logical bytes in HBM. That padding is invisible to gathers (per-row
+priced) but is paid IN FULL by every dense pass over the table, and the
+parity-required decoupled weight decay (reference `code/trainer.py:61-72`
+applies wd to embedding tables) forces a dense AdamW update of table + both
+moments every step.
+
+Packing p = 128 // E logical rows per physical 128-lane row removes the
+padding: the dense update touches 1/p the HBM, and the gather fetches one
+128-lane row (same per-row price) and selects the E-lane sub-block with a
+one-hot contraction (VPU-friendly, no extra per-row-priced ops). The
+backward pass is the exact transpose: the one-hot expand then a scatter-add
+onto packed rows — same update-row count, 1/p the dense-layout traffic when
+XLA fuses it into the optimizer pass.
+
+This is a pure storage-layout change: every element sees bit-identical math
+(init, lookup value, gradient, AdamW step), verified by tests/test_packed.py.
+Rows V..Vp-1 are padding: never gathered, zero gradient, and their AdamW
+trajectory is self-contained (they decay toward 0), so they never influence
+real rows.
+
+No reference counterpart (the reference's torch tables are dense-row-major
+on GPU, `code/layers.py:86`); this is TPU-native layout engineering.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pack_factor(embed_size: int) -> int:
+    """Rows per 128-lane physical row (1 = packing is a no-op)."""
+    if embed_size >= 128 or 128 % embed_size != 0:
+        return 1
+    return 128 // embed_size
+
+
+def packed_rows(input_size: int, embed_size: int) -> int:
+    p = pack_factor(embed_size)
+    return -(-input_size // p)  # ceil
+
+
+def packed_shape(input_size: int, embed_size: int):
+    p = pack_factor(embed_size)
+    return (packed_rows(input_size, embed_size), p * embed_size)
+
+
+def pack_table(table: jnp.ndarray, embed_size: int | None = None):
+    """(V, E) -> (ceil(V/p), p*E), zero-padding the tail rows."""
+    v, e = table.shape
+    p = pack_factor(e)
+    vp = packed_rows(v, e) * p
+    if vp != v:
+        pad = jnp.zeros((vp - v, e), table.dtype)
+        table = jnp.concatenate([table, pad], axis=0)
+    return table.reshape(vp // p, p * e)
+
+
+def unpack_table(packed: jnp.ndarray, input_size: int, embed_size: int):
+    p = pack_factor(embed_size)
+    return packed.reshape(-1, embed_size)[:input_size]
+
+
+def packed_lookup(packed: jnp.ndarray, ids: jnp.ndarray, embed_size: int,
+                  use_pallas: bool = False) -> jnp.ndarray:
+    """Gather logical rows from a packed table: (..., ) ids -> (..., E).
+
+    Routes the physical-row gather through ops.embedding.embedding_lookup so
+    the model-axis shard_map exchange (row-sharded packed tables) and the
+    Pallas DMA path apply unchanged.
+    """
+    from map_tpu.ops.embedding import embedding_lookup
+
+    p = 128 // embed_size if (embed_size < 128 and 128 % embed_size == 0) else 1
+    if packed.shape[1] == embed_size:  # unpacked table: plain path
+        return embedding_lookup(packed, ids, use_pallas=use_pallas)
+    rows = embedding_lookup(packed, ids // p, use_pallas=use_pallas)
+    sub = jax.nn.one_hot(ids % p, p, dtype=packed.dtype)  # (..., p)
+    rows = rows.reshape(*ids.shape, p, embed_size)
+    return jnp.einsum("...p,...pe->...e", sub, rows)
+
+
+def expand_to_packed(vals: jnp.ndarray, sub_slot: jnp.ndarray,
+                     pack: int) -> jnp.ndarray:
+    """(C, E) row-values + (C,) sub-slot -> (C, pack*E) rows that scatter-add
+    into a packed table at physical row id//pack (the transpose of the
+    packed_lookup selection)."""
+    onehot = jax.nn.one_hot(sub_slot, pack, dtype=vals.dtype)  # (C, p)
+    return (onehot[:, :, None] * vals[:, None, :]).reshape(
+        vals.shape[0], pack * vals.shape[1])
