@@ -76,7 +76,11 @@ class TrainingArguments:
     # the (8,128)-tile lane padding XLA pays on narrow tables, cutting the
     # dense AdamW table-update HBM traffic by p (map_tpu.ops.packed_table).
     # Bit-identical math per element; changes checkpointed param shapes.
-    packed_tables: bool = False
+    packed_tables: bool = True
+    # Route vocab-table AdamW through the fused one-pass Pallas kernel
+    # (map_tpu.ops.fused_adamw); auto-disabled when max_grad_norm > 0 (the
+    # global-norm clip needs one optax chain over every grad).
+    fused_table_update: bool = True
     table_sharding: str = "auto"  # auto | replicated | rows
     mock_devices: int = 0        # >0: force CPU with N virtual devices (testing)
     # Streaming eval: the device reduces each eval batch to two score

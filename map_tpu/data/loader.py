@@ -52,12 +52,20 @@ class Batcher:
     def num_examples(self) -> int:
         return len(self.Y)
 
-    def epoch(self, epoch: Optional[int] = None) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch(self, epoch: Optional[int] = None,
+              start_batch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         """Yield fixed-shape batches for one epoch.
 
         Batch dict keys: `input_ids` (B, F) int32; `labels` (B,) float32;
         `weight` (B,) float32 in {0,1}; optionally `noise_rows`
         (B * noise_rows_per_example, F) int32.
+
+        `start_batch` skips the first batches WITHOUT materializing them
+        (resume fast-forward): the per-epoch seeded rng makes the shuffled
+        order deterministic, and the noise-row draw stream is advanced with
+        one vectorized call — numpy's bounded-integer generation consumes the
+        bit stream per value, so a single size-(skip*k) draw reproduces the
+        exact per-batch draw sequence (pinned by tests/test_resume.py).
         """
         if epoch is None:
             epoch = self._epoch
@@ -73,7 +81,11 @@ class Batcher:
         y = self.Y if self.Y.dtype == np.float32 else self.Y.astype(np.float32)
 
         num_batches = len(self)
-        for b in range(num_batches):
+        if start_batch and self.noise_rows_per_example > 0:
+            k = bs * self.noise_rows_per_example
+            rng.integers(0, len(self.noise_source),
+                         size=min(start_batch, num_batches) * k)
+        for b in range(start_batch, num_batches):
             idx = order[b * bs:(b + 1) * bs]
             real = len(idx)
             if real < bs:

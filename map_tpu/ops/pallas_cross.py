@@ -78,8 +78,12 @@ def _cross_fused_bwd(res, g):
                                preferred_element_type=jnp.float32)
         db[layer] = du.sum(axis=0)
         dx0_gate = dx0_gate + g * us[layer]
-        g = g + jnp.dot(du, w[layer].T, preferred_element_type=jnp.float32)
-    return g + dx0_gate, jnp.stack(dw), jnp.stack(db)
+        g = (g + jnp.dot(du, w[layer].T,
+                         preferred_element_type=jnp.float32)).astype(g.dtype)
+    # cotangents must match primal dtypes (bf16 compute => bf16 grads here;
+    # the optimizer accumulates in f32 upstream)
+    return ((g + dx0_gate).astype(x0.dtype),
+            jnp.stack(dw).astype(w.dtype), jnp.stack(db).astype(w.dtype))
 
 
 _cross_fused.defvjp(_cross_fused_fwd, _cross_fused_bwd)
@@ -100,13 +104,15 @@ def _cross_forward(x0: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray
     wp = jnp.pad(w, ((0, 0), (0, d_pad - d), (0, d_pad - d)))
     bp = jnp.pad(b, ((0, 0), (0, d_pad - d)))
 
+    dt = x0.dtype  # bf16 compute stores bf16 tiles; MXU accumulates f32
+
     def kernel(x0_ref, w_ref, b_ref, y_ref, xs_ref, us_ref):
         x0_tile = x0_ref[:]
         xi = x0_tile
         for layer in range(num_layers):  # static unroll
             xs_ref[layer] = xi
-            u = jnp.dot(xi, w_ref[layer],
-                        preferred_element_type=jnp.float32) + b_ref[layer][None, :]
+            u = (jnp.dot(xi, w_ref[layer], preferred_element_type=jnp.float32)
+                 + b_ref[layer][None, :].astype(jnp.float32)).astype(dt)
             us_ref[layer] = u
             xi = xi + x0_tile * u
         y_ref[:] = xi
@@ -132,9 +138,9 @@ def _cross_forward(x0: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b_pad, d_pad), jnp.float32),
-            jax.ShapeDtypeStruct((num_layers, b_pad, d_pad), jnp.float32),
-            jax.ShapeDtypeStruct((num_layers, b_pad, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, d_pad), dt),
+            jax.ShapeDtypeStruct((num_layers, b_pad, d_pad), dt),
+            jax.ShapeDtypeStruct((num_layers, b_pad, d_pad), dt),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * num_layers * b_pad * d_pad * d_pad,

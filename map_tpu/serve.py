@@ -32,7 +32,6 @@ class Predictor:
         self.config.pretrain = False  # scoring uses the supervised head
         self.model = models.from_config(self.config)
         self.variables = checkpoints.load_model(model_dir, step)
-        assert "fc_out" in self.variables["params"] or True
         self.batch_size = batch_size
         self._fwd = jax.jit(lambda v, ids: self.model.apply(v, ids).reshape(-1))
 

@@ -129,8 +129,12 @@ def _apply_eval(model, variables, inputs, **kwargs):
 
 
 def _update(tx, state: TrainState, grads, new_batch_stats) -> TrainState:
+    from map_tpu.train.optimizer import apply_updates
+
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
-    params = optax.apply_updates(state.params, updates)
+    # optimizer.apply_updates == optax.apply_updates plus Replace-wrapper
+    # support for PartitionedTx's fused table updates
+    params = apply_updates(state.params, updates)
     return TrainState(params=params, batch_stats=new_batch_stats,
                       opt_state=opt_state, step=state.step + 1)
 

@@ -335,11 +335,9 @@ class Trainer:
         start_epoch = self.global_step // per_epoch
         skip = self.global_step % per_epoch
         for epoch in range(start_epoch, self.args.num_train_epochs):
-            it = batcher.epoch(epoch)
-            if epoch == start_epoch and skip:
-                for _ in range(skip):
-                    next(it)
-            yield epoch, it
+            # start_batch fast-forwards in O(1) gather work (loader.py)
+            yield epoch, batcher.epoch(
+                epoch, start_batch=skip if epoch == start_epoch else 0)
 
     def _variables(self) -> Dict:
         v = {"params": self.state.params}

@@ -93,3 +93,22 @@ def test_multi_step_equals_sequential_single_steps():
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_fast_forward_reproduces_stream():
+    """epoch(start_batch=k) must yield exactly the batches k.. of a full
+    epoch, including the noise_rows side-channel draws (O(1)-skip resume)."""
+    from map_tpu.data.loader import Batcher
+
+    rng = np.random.default_rng(3)
+    X = rng.integers(10, 500, (103, 6)).astype(np.int32)
+    Y = rng.integers(0, 2, 103).astype(np.float32)
+    b = Batcher(X, Y, batch_size=16, shuffle=True, seed=11,
+                noise_source=X, noise_rows_per_example=2)
+    full = list(b.epoch(epoch=5))
+    for skip in (1, 3, len(full) - 1):
+        tail = list(b.epoch(epoch=5, start_batch=skip))
+        assert len(tail) == len(full) - skip
+        for got, want in zip(tail, full[skip:]):
+            for k in want:
+                np.testing.assert_array_equal(got[k], want[k])
