@@ -32,6 +32,8 @@ class Batcher:
         noise_source: Optional[np.ndarray] = None,
         noise_rows_per_example: int = 0,
         drop_remainder: bool = False,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.X = X
         self.Y = Y
@@ -41,7 +43,21 @@ class Batcher:
         self.noise_source = noise_source
         self.noise_rows_per_example = int(noise_rows_per_example)
         self.drop_remainder = drop_remainder
+        # Multi-host sharding (the working replacement for the reference's
+        # never-built DistributedSampler, `code/arguments.py:58-86`): every
+        # process computes the same global shuffled order (seeded rng) but
+        # materializes only its contiguous block of each batch; the trainer
+        # reassembles the global array with
+        # jax.make_array_from_process_local_data.
+        assert self.batch_size % max(1, process_count) == 0, \
+            "global batch must divide evenly across processes"
+        self.process_index = int(process_index)
+        self.process_count = int(process_count)
         self._epoch = 0
+
+    @property
+    def local_batch_size(self) -> int:
+        return self.batch_size // self.process_count
 
     def __len__(self) -> int:
         n = len(self.Y)
@@ -85,25 +101,34 @@ class Batcher:
             k = bs * self.noise_rows_per_example
             rng.integers(0, len(self.noise_source),
                          size=min(start_batch, num_batches) * k)
+        lbs = self.local_batch_size
+        lo = self.process_index * lbs
         for b in range(start_batch, num_batches):
             idx = order[b * bs:(b + 1) * bs]
             real = len(idx)
             if real < bs:
                 pad = np.zeros(bs - real, dtype=idx.dtype)  # pad with row 0, weight 0
                 idx = np.concatenate([idx, pad])
+            # this process's contiguous block of the global batch
+            lidx = idx[lo:lo + lbs]
             batch = {
-                "input_ids": native.gather_rows_i32(x, idx),
-                "labels": native.gather_f32(y, idx),
-                "weight": (np.arange(bs) < real).astype(np.float32),
+                "input_ids": native.gather_rows_i32(x, lidx),
+                "labels": native.gather_f32(y, lidx),
+                "weight": ((np.arange(bs) < real)[lo:lo + lbs]
+                           ).astype(np.float32),
             }
             if self.noise_rows_per_example > 0:
                 assert self.noise_source is not None
                 k = bs * self.noise_rows_per_example
+                # the GLOBAL draw keeps the stream identical to 1-process
+                # runs; each process gathers only its rows
                 sample_index = rng.integers(0, len(self.noise_source), size=k)
+                nl = lbs * self.noise_rows_per_example
                 batch["noise_rows"] = native.gather_rows_i32(
                     np.ascontiguousarray(self.noise_source, dtype=np.int32)
                     if self.noise_source.dtype != np.int32 or
                     not self.noise_source.flags.c_contiguous
                     else self.noise_source,
-                    sample_index)
+                    sample_index[lo * self.noise_rows_per_example:
+                                 lo * self.noise_rows_per_example + nl])
             yield batch

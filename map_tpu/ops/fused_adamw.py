@@ -35,13 +35,14 @@ def _on_tpu() -> bool:
         return False
 
 
-def _adamw_math(p, mu, nu, g, lr, wd, b1, b2, eps, count_inc):
+def _adamw_math(p, mu, nu, g, lr, wd, b1, b2, eps, bc1, bc2):
     """optax.adamw algebra: scale_by_adam (bias-corrected, eps_root=0) ->
-    add_decayed_weights -> scale_by_learning_rate."""
+    add_decayed_weights -> scale_by_learning_rate. bc1/bc2 = 1 - b^count_inc,
+    precomputed OUTSIDE the kernel (Mosaic has no powf)."""
     mu = b1 * mu + (1.0 - b1) * g
     nu = b2 * nu + (1.0 - b2) * g * g
-    mu_hat = mu / (1.0 - b1 ** count_inc)
-    nu_hat = nu / (1.0 - b2 ** count_inc)
+    mu_hat = mu / bc1
+    nu_hat = nu / bc2
     upd = mu_hat / (jnp.sqrt(nu_hat) + eps) + wd * p
     return p - lr * upd, mu, nu
 
@@ -52,14 +53,14 @@ def fused_adamw_dense(p: jnp.ndarray, mu: jnp.ndarray, nu: jnp.ndarray,
                       interpret: bool = False):
     """One-pass AdamW on a (R, W) table with a dense (R, W) gradient.
 
-    scalars: (1, 8) f32 [lr, wd, b1, b2, eps, count_inc, 0, 0] — count_inc is
-    the optax count AFTER increment (first update => 1.0).
+    scalars: (1, 8) f32 [lr, wd, b1, b2, eps, bc1, bc2, 0] — bc = 1 - b^t
+    with t = the optax count AFTER increment (first update => t = 1).
     Returns (new_p, new_mu, new_nu).
     """
     r, w = p.shape
     if (not _on_tpu() and not interpret) or r % ROWS_PER_TILE or w % 128:
-        lr, wd, b1, b2, eps, ci = (scalars[0, i] for i in range(6))
-        return _adamw_math(p, mu, nu, g, lr, wd, b1, b2, eps, ci)
+        lr, wd, b1, b2, eps, bc1, bc2 = (scalars[0, i] for i in range(7))
+        return _adamw_math(p, mu, nu, g, lr, wd, b1, b2, eps, bc1, bc2)
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -69,9 +70,10 @@ def fused_adamw_dense(p: jnp.ndarray, mu: jnp.ndarray, nu: jnp.ndarray,
 
     def kernel(s_ref, p_ref, mu_ref, nu_ref, g_ref,
                po_ref, muo_ref, nuo_ref):
-        lr, wd, b1, b2, eps, ci = (s_ref[0, i] for i in range(6))
+        lr, wd, b1, b2, eps, bc1, bc2 = (s_ref[0, i] for i in range(7))
         new_p, new_mu, new_nu = _adamw_math(
-            p_ref[:], mu_ref[:], nu_ref[:], g_ref[:], lr, wd, b1, b2, eps, ci)
+            p_ref[:], mu_ref[:], nu_ref[:], g_ref[:], lr, wd, b1, b2, eps,
+            bc1, bc2)
         po_ref[:] = new_p
         muo_ref[:] = new_mu
         nuo_ref[:] = new_nu
@@ -98,7 +100,9 @@ def fused_adamw_dense(p: jnp.ndarray, mu: jnp.ndarray, nu: jnp.ndarray,
 
 
 def pack_scalars(lr, wd, b1, b2, eps, count_inc) -> jnp.ndarray:
+    ci = jnp.asarray(count_inc, jnp.float32)
+    bc1 = 1.0 - jnp.asarray(b1, jnp.float32) ** ci
+    bc2 = 1.0 - jnp.asarray(b2, jnp.float32) ** ci
     vals = jnp.stack([jnp.asarray(x, jnp.float32) for x in
-                      (lr, wd, b1, b2, eps, count_inc,
-                       jnp.float32(0), jnp.float32(0))])
+                      (lr, wd, b1, b2, eps, bc1, bc2, jnp.float32(0))])
     return vals.reshape(1, 8)

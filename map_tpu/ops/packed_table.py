@@ -39,9 +39,18 @@ def pack_factor(embed_size: int) -> int:
     return 128 // embed_size
 
 
+ROW_ALIGN = 512  # fused-update tile (ops/fused_adamw.ROWS_PER_TILE)
+
+
 def packed_rows(input_size: int, embed_size: int) -> int:
+    """Physical rows: ceil(V/p), rounded up to ROW_ALIGN so every dense table
+    pass tiles cleanly (the fused AdamW kernel requires it; padding rows are
+    zero-init, never gathered, zero-grad — they only decay toward zero)."""
     p = pack_factor(embed_size)
-    return -(-input_size // p)  # ceil
+    rows = -(-input_size // p)  # ceil
+    if rows >= ROW_ALIGN:
+        rows = -(-rows // ROW_ALIGN) * ROW_ALIGN
+    return rows
 
 
 def packed_shape(input_size: int, embed_size: int):

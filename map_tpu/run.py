@@ -69,7 +69,8 @@ def main(argv=None) -> int:
         trainer.train()
         trainer.test()
 
-    mark_job_finished(training_args.output_dir)
+    if jax.process_index() == 0:  # one completion marker per job
+        mark_job_finished(training_args.output_dir)
     return 0
 
 

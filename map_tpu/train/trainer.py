@@ -106,6 +106,8 @@ class Trainer:
             batch_size=bs, shuffle=is_training, seed=self.args.seed,
             noise_source=self.dataset.X["train"],
             noise_rows_per_example=self._noise_rows_per_example(),
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
         )
 
     def _build_steps(self, num_batches_per_epoch: int):
@@ -168,8 +170,15 @@ class Trainer:
         self._multi_step = (ts.make_multi_step(self._train_step, self._steps_per_call)
                             if self._steps_per_call > 1 else None)
         self._eval_has_rng = bool(getattr(self.config, "pretrain", False))
+        # Multi-host supervised eval returns per-example arrays that must be
+        # process-allgathered per batch; keep those dispatches unstacked.
+        # (Pretrain evals and streaming mode reduce to replicated scalars /
+        # histograms on device, so stacking stays on.)
+        stack_eval = self._steps_per_call > 1 and not (
+            jax.process_count() > 1 and not self._eval_has_rng
+            and not self._streaming_bins)
         self._multi_eval = (ts.make_multi_eval(self._eval_step, self._eval_has_rng)
-                            if self._steps_per_call > 1 else None)
+                            if stack_eval else None)
         self._t_total, self._t_warmup = t_total, t_warmup
         self._maybe_resume()
 
@@ -178,7 +187,12 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _put(self, batch, stacked: bool) -> dict:
-        """Async device_put with mesh batch sharding (batch axis = 'data')."""
+        """Async device_put with mesh batch sharding (batch axis = 'data').
+
+        Multi-host: each process holds only its block of the global batch
+        (loader.py process sharding); jax.make_array_from_process_local_data
+        assembles the global sharded array without any cross-host transfer
+        (process blocks land on that process's devices)."""
         if self.mesh is None:
             return jax.device_put(batch)
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -189,6 +203,10 @@ class Trainer:
             axes[1 if stacked else 0] = "data"
             return NamedSharding(self.mesh, P(*axes))
 
+        if jax.process_count() > 1:
+            return jax.tree.map(
+                lambda leaf: jax.make_array_from_process_local_data(
+                    spec(leaf), np.asarray(leaf)), batch)
         return jax.device_put(batch, jax.tree.map(spec, batch))
 
     def _grouped_stream(self, batches, grouped: bool):
@@ -255,6 +273,35 @@ class Trainer:
             idx += n
             yield m, host_group
 
+    def _host_local_rows(self, arr) -> np.ndarray:
+        """Host copy of the per-example rows this process owns. Single-host:
+        the whole array. Multi-host: the addressable shards, in batch order
+        (the batch axis is the trailing data axis: 0 unstacked, 1 stacked)."""
+        if jax.process_count() == 1:
+            return np.asarray(jax.device_get(arr))
+        axis = 0 if arr.ndim == 1 else 1
+        shards = sorted(arr.addressable_shards,
+                        key=lambda s: s.index[axis].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=axis)
+
+    def _host_variables(self, tree):
+        """device_get that also handles cross-process-sharded leaves
+        (multi-host checkpointing: gather every leaf to every host)."""
+        if jax.process_count() == 1:
+            return jax.device_get(tree)
+        from jax.experimental import multihost_utils
+
+        def leaf(x):
+            if not isinstance(x, jax.Array) or x.is_fully_addressable \
+                    or x.sharding.is_fully_replicated:
+                # replicated data is readable from the local replica even
+                # when the sharding spans non-addressable devices
+                return np.asarray(jax.device_get(x))
+            # cross-process sharded (row-sharded tables): gather rows
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+        return jax.tree_util.tree_map(leaf, tree)
+
     def _run_train_step(self, n, dev_batch):
         if n > 1:
             self.state, metrics = self._multi_step(self.state, dev_batch)
@@ -319,8 +366,11 @@ class Trainer:
         if prev_step is None:
             prev_step = self.global_step - 1
         if self._crossed(prev_step, self.args.save_steps):
+            host_state = self._host_variables(self.state)
+            if jax.process_index() != 0:
+                return
             checkpoints.save_train_state(
-                self.args.output_dir, jax.device_get(self.state),
+                self.args.output_dir, host_state,
                 {"global_step": self.global_step,
                  "best_eval_auc": self.best_eval_auc,
                  "best_eval_step": self.best_eval_step,
@@ -401,9 +451,13 @@ class Trainer:
                     got = jax.device_get(tr_loss_window)
                     losses = np.concatenate(
                         [np.atleast_1d(x) for x in got]).astype(np.float64)
+                    # multi-host: the window AUC is computed over THIS
+                    # process's shard (labels/weights are host-local); it is
+                    # a progress signal, not a model-selection metric — eval()
+                    # gathers globally for the real AUC.
                     probs = np.concatenate(
-                        [np.asarray(p).reshape(-1) for p in
-                         jax.device_get(tr_probs)]).astype(np.float64)
+                        [self._host_local_rows(p).reshape(-1)
+                         for p in tr_probs]).astype(np.float64)
                     labels = np.concatenate(tr_labels)
                     w = np.concatenate(tr_weights) > 0
                     window_auc = roc_auc(labels[w], probs[w])
@@ -430,13 +484,33 @@ class Trainer:
         logger.info(f"  batch size = {batcher.batch_size}")
 
         streaming = self._streaming_bins > 0
+        multihost = jax.process_count() > 1
         dev_metrics, all_labels, all_w = [], [], []
         for m, host_group in self._eval_dispatch(batcher.epoch(0)):
+            if multihost and not streaming:
+                # per-example outputs are sharded across processes; gather the
+                # global batch on every host (exact AUC needs a global sort).
+                # Process blocks are contiguous in the batch, so tiled
+                # allgather restores global order.
+                from jax.experimental import multihost_utils
+                m = {"loss": jax.device_get(m["loss"]),
+                     "logits": multihost_utils.process_allgather(
+                         m["logits"], tiled=True),
+                     "probs": multihost_utils.process_allgather(
+                         m["probs"], tiled=True)}
             dev_metrics.append(m)
             if not streaming:
                 all_labels.extend(g["labels"] for g in host_group)
                 all_w.extend(g["weight"] for g in host_group)
-        got = jax.device_get(dev_metrics)
+        if multihost and not streaming:
+            from jax.experimental import multihost_utils
+            all_labels = [multihost_utils.process_allgather(lbl, tiled=True)
+                          for lbl in all_labels]
+            all_w = [multihost_utils.process_allgather(w, tiled=True)
+                     for w in all_w]
+            got = dev_metrics
+        else:
+            got = jax.device_get(dev_metrics)
 
         if streaming:
             # device-reduced histograms + exact sums (O(bins) D2H per batch)
@@ -452,6 +526,15 @@ class Trainer:
                 prob_sum += float(np.sum(g["prob_sum"]))
                 count += float(np.sum(g["count"]))
             auc = auc_from_histograms(hist_pos, hist_neg)
+            from map_tpu.utils.metrics import auc_histogram_error_bound
+            bound = auc_histogram_error_bound(hist_pos, hist_neg)
+            if bound > 5e-5:
+                logger.warning(
+                    f"streaming AUC certified error bound {bound:.2e} exceeds "
+                    f"5e-5 — raise --auc_bins or disable --streaming_auc for "
+                    f"model selection")
+            else:
+                logger.info(f"streaming AUC certified error bound {bound:.2e}")
             ll = ll_sum / count
             avg_logits, avg_probs = logit_sum / count, prob_sum / count
         else:
@@ -613,8 +696,10 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def save_model(self, model_dir: str) -> str:
-        path = checkpoints.save_model(jax.device_get(self._variables()),
-                                      model_dir, self.global_step)
+        host_vars = self._host_variables(self._variables())
+        if jax.process_index() != 0:  # every host gathers, process 0 writes
+            return checkpoints.model_checkpoint_path(model_dir, self.global_step)
+        path = checkpoints.save_model(host_vars, model_dir, self.global_step)
         limit = getattr(self.args, "save_total_limit", None)
         if limit:
             checkpoints.prune_checkpoints(model_dir, limit)

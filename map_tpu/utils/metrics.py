@@ -80,6 +80,26 @@ def auc_from_histograms(hist_pos: np.ndarray, hist_neg: np.ndarray) -> float:
     return float(u / (n_pos * n_neg))
 
 
+def auc_histogram_error_bound(hist_pos: np.ndarray, hist_neg: np.ndarray
+                              ) -> float:
+    """Certified worst-case |exact_AUC - auc_from_histograms|.
+
+    The estimator is exact for every pos/neg pair in DIFFERENT bins; a
+    same-bin pair contributes 0.5/(P*N) while its true contribution is in
+    [0, 1/(P*N)], so the error is at most half the same-bin pair mass:
+        bound = 0.5 * sum_b pos_b * neg_b / (P * N).
+    This is computed per eval from the same histograms (free), letting the
+    trainer certify that streaming-mode model selection cannot mis-rank
+    checkpoints whose AUC gap exceeds 2 * bound.
+    """
+    hist_pos = np.asarray(hist_pos, dtype=np.float64).ravel()
+    hist_neg = np.asarray(hist_neg, dtype=np.float64).ravel()
+    n_pos, n_neg = hist_pos.sum(), hist_neg.sum()
+    if n_pos == 0 or n_neg == 0:
+        return 0.0
+    return float(0.5 * np.sum(hist_pos * hist_neg) / (n_pos * n_neg))
+
+
 def sigmoid(x: np.ndarray) -> np.ndarray:
     x = np.asarray(x, dtype=np.float64)
     out = np.empty_like(x)

