@@ -41,6 +41,9 @@ def main() -> None:
         hidden_dropout_rate=0.0, num_cross_layers=3, pretrain=False,
         embed_norm=False, layer_norm_eps=1e-12, embed_dropout_rate=0.0,
         use_pallas=True,
+        # production defaults (config.TrainingArguments): lane-packed table
+        # storage + fused one-pass table AdamW
+        packed_tables=True, fused_table_update=True,
     )
     args = TrainingArguments(
         output_dir="/tmp/bench", learning_rate=1e-3, weight_decay=0.1,

@@ -129,7 +129,12 @@ class IndexLinearDecoder(nn.Module):
         from map_tpu.parallel.context import table_mesh
 
         nce_grad = getattr(self.config, "nce_grad", "dedup")
-        if nce_grad in ("dedup", "dedup_pallas") and table_mesh() is None:
+        # The packed dedup path handles row-sharded tables natively (the
+        # physical-row gather/scatter route through the shard_map exchange,
+        # ops/dedup_scatter._dgp_fwd/_dgp_bwd); the unpacked legacy path does
+        # not, so it falls back to the plain lookup under a table mesh.
+        dedup_ok = self.packed or table_mesh() is None
+        if nce_grad in ("dedup", "dedup_pallas") and dedup_ok:
             from map_tpu.ops import dedup_scatter
 
             # trace-time switch: the compact scatter runs through the Pallas

@@ -341,23 +341,50 @@ def decoder_gather_packed(emb_packed: jnp.ndarray, bias_packed: jnp.ndarray,
 
 def _dgp_fwd(emb_packed, bias_packed, ids, embed_size, vocab):
     from map_tpu.ops.packed_table import pack_factor
+    from map_tpu.parallel.context import table_mesh
 
     e = embed_size
     pe = pack_factor(e)
     pb = bias_packed.shape[1]
+    mesh = table_mesh()
+    if mesh is not None:
+        from map_tpu.parallel.mesh import MODEL_AXIS
+
+        num = mesh.shape[MODEL_AXIS]
+        if emb_packed.shape[0] % num or bias_packed.shape[0] % num:
+            mesh = None  # non-divisible tables stay replicated (sharding.py)
     flat = ids.reshape(-1).astype(jnp.int32)
+    if mesh is not None:
+        # sharded tables: the dedup machinery (sort/fold/compact) runs on the
+        # REPLICATED candidate stream — the allgather of (n,) int32 ids is
+        # tiny against table bandwidth — and only the physical-row table ops
+        # go through the shard_map masked-gather / shard-local-scatter pair
+        from jax.sharding import PartitionSpec as P
+
+        flat = jax.lax.with_sharding_constraint(
+            flat, jax.sharding.NamedSharding(mesh, P()))
     n = flat.shape[0]
     tiers = tuple(sorted({min(c, n) for c in DECODER_TIERS}))
     capacity = tiers[-1]
     (sids, order, u_of_orig, uids_c, start_pos, end_pos, valid,
      num_unique) = _sort_ids(flat, capacity)
 
+    def _take_rows(tab, phys_idx):
+        if mesh is not None:
+            from map_tpu.parallel.embedding import sharded_rows_gather
+
+            return sharded_rows_gather(tab, phys_idx, mesh)
+        return jnp.take(tab, phys_idx, axis=0)
+
     def _gather_at(idx):
-        sub_e = jax.nn.one_hot(idx % pe, pe, dtype=emb_packed.dtype)
-        re = jnp.take(emb_packed, idx // pe, axis=0).reshape(-1, pe, e)
-        rows = jnp.einsum("cp,cpe->ce", sub_e, re)
+        from map_tpu.ops.packed_table import select_sub_block
+
+        rows = select_sub_block(_take_rows(emb_packed, idx // pe),
+                                idx % pe, e)
+        # bias: per-row pick of 1 lane out of pb — a row-dot with the one-hot
+        # stays layout-friendly at width 1
         sub_b = jax.nn.one_hot(idx % pb, pb, dtype=bias_packed.dtype)
-        rb = jnp.take(bias_packed, idx // pb, axis=0)
+        rb = _take_rows(bias_packed, idx // pb)
         return rows, jnp.einsum("cp,cp->c", sub_b, rb)
 
     def unique_tier(c):
@@ -383,12 +410,20 @@ def _dgp_fwd(emb_packed, bias_packed, ids, embed_size, vocab):
 
 def _dgp_bwd(embed_size, vocab, res, gout):
     from map_tpu.ops.packed_table import expand_to_packed, pack_factor
+    from map_tpu.parallel.context import table_mesh
 
     (flat, emb_shape, bias_shape, sids, order, uids_c, start_pos, end_pos,
      valid, num_unique) = res
     e = embed_size
     pe = pack_factor(e)
     pb = bias_shape[1]
+    mesh = table_mesh()
+    if mesh is not None:
+        from map_tpu.parallel.mesh import MODEL_AXIS
+
+        num = mesh.shape[MODEL_AXIS]
+        if emb_shape[0] % num or bias_shape[0] % num:
+            mesh = None  # mirror the forward's divisibility guard
     g_rows, g_b = gout
     gr = g_rows.reshape(-1, e).astype(jnp.float32)
     gb = g_b.reshape(-1).astype(jnp.float32)
@@ -400,15 +435,22 @@ def _dgp_bwd(embed_size, vocab, res, gout):
     gr_s = jnp.take(gr, order, axis=0)
     gb_s = jnp.take(gb, order)[:, None]
 
+    def _scatter_rows(shape, phys_idx, wide, sorted_ids):
+        if mesh is not None:
+            from map_tpu.parallel.embedding import sharded_rows_scatter_add
+
+            return sharded_rows_scatter_add(phys_idx, wide, shape[0], mesh,
+                                            indices_are_sorted=sorted_ids)
+        return jnp.zeros(shape, jnp.float32).at[phys_idx].add(
+            wide, mode="drop", indices_are_sorted=sorted_ids)
+
     def _scatter_at(idx, vals_e, vals_b, sorted_ids):
-        # sentinel ids (== vocab) land at physical row vocab//p, outside both
-        # packed tables (their row counts are ceil(vocab/p)) -> mode="drop"
+        # sentinel ids (== vocab) land at physical row vocab//p, inside the
+        # alignment padding or past the table -> zero-valued or dropped
         wide_e = expand_to_packed(vals_e, idx % pe, pe)
-        d_emb = jnp.zeros(emb_shape, jnp.float32).at[idx // pe].add(
-            wide_e, mode="drop", indices_are_sorted=sorted_ids)
+        d_emb = _scatter_rows(emb_shape, idx // pe, wide_e, sorted_ids)
         wide_b = expand_to_packed(vals_b, idx % pb, pb)
-        d_bias = jnp.zeros(bias_shape, jnp.float32).at[idx // pb].add(
-            wide_b, mode="drop", indices_are_sorted=sorted_ids)
+        d_bias = _scatter_rows(bias_shape, idx // pb, wide_b, sorted_ids)
         return d_emb, d_bias
 
     def folded_tier(c):

@@ -47,18 +47,23 @@ def _adamw_math(p, mu, nu, g, lr, wd, b1, b2, eps, bc1, bc2):
     return p - lr * upd, mu, nu
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "force_xla"))
 def fused_adamw_dense(p: jnp.ndarray, mu: jnp.ndarray, nu: jnp.ndarray,
                       g: jnp.ndarray, scalars: jnp.ndarray,
-                      interpret: bool = False):
+                      interpret: bool = False, force_xla: bool = False):
     """One-pass AdamW on a (R, W) table with a dense (R, W) gradient.
 
     scalars: (1, 8) f32 [lr, wd, b1, b2, eps, bc1, bc2, 0] — bc = 1 - b^t
     with t = the optax count AFTER increment (first update => t = 1).
     Returns (new_p, new_mu, new_nu).
+
+    force_xla: run the same algebra as one fused XLA expression — used for
+    ROW-SHARDED tables, where the elementwise XLA form shards for free while
+    a pallas_call would force an all-gather of the table.
     """
     r, w = p.shape
-    if (not _on_tpu() and not interpret) or r % ROWS_PER_TILE or w % 128:
+    if force_xla or (not _on_tpu() and not interpret) \
+            or r % ROWS_PER_TILE or w % 128:
         lr, wd, b1, b2, eps, bc1, bc2 = (scalars[0, i] for i in range(7))
         return _adamw_math(p, mu, nu, g, lr, wd, b1, b2, eps, bc1, bc2)
 

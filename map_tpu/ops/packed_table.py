@@ -81,6 +81,12 @@ def packed_lookup(packed: jnp.ndarray, ids: jnp.ndarray, embed_size: int,
     Routes the physical-row gather through ops.embedding.embedding_lookup so
     the model-axis shard_map exchange (row-sharded packed tables) and the
     Pallas DMA path apply unchanged.
+
+    The sub-block selection is a p-way masked select-sum over LANE SLICES of
+    the gathered 128-lane rows — not a one-hot einsum. Profiling showed the
+    einsum form forced layout-changing reshapes to (B, F, p, E) costing
+    ~2 ms/step at the canonical config; the select-sum is pure elementwise
+    VPU work on the gather's native layout and fuses into its consumer.
     """
     from map_tpu.ops.embedding import embedding_lookup
 
@@ -88,16 +94,36 @@ def packed_lookup(packed: jnp.ndarray, ids: jnp.ndarray, embed_size: int,
     if packed.shape[1] == embed_size:  # unpacked table: plain path
         return embedding_lookup(packed, ids, use_pallas=use_pallas)
     rows = embedding_lookup(packed, ids // p, use_pallas=use_pallas)
-    sub = jax.nn.one_hot(ids % p, p, dtype=packed.dtype)  # (..., p)
-    rows = rows.reshape(*ids.shape, p, embed_size)
-    return jnp.einsum("...p,...pe->...e", sub, rows)
+    sub = (ids % p)[..., None]
+    e = embed_size
+    out = None
+    for s in range(p):
+        term = jnp.where(sub == s, rows[..., s * e:(s + 1) * e], 0.0)
+        out = term if out is None else out + term
+    return out
+
+
+def select_sub_block(rows_wide: jnp.ndarray, slot: jnp.ndarray,
+                     embed_size: int) -> jnp.ndarray:
+    """(..., p*E) wide rows + (...,) slot -> (..., E): the lane-slice masked
+    select-sum used by packed_lookup, exposed for the dedup decoder path."""
+    p = rows_wide.shape[-1] // embed_size
+    s2 = slot[..., None]
+    out = None
+    for s in range(p):
+        term = jnp.where(s2 == s,
+                         rows_wide[..., s * embed_size:(s + 1) * embed_size],
+                         0.0)
+        out = term if out is None else out + term
+    return out
 
 
 def expand_to_packed(vals: jnp.ndarray, sub_slot: jnp.ndarray,
                      pack: int) -> jnp.ndarray:
     """(C, E) row-values + (C,) sub-slot -> (C, pack*E) rows that scatter-add
     into a packed table at physical row id//pack (the transpose of the
-    packed_lookup selection)."""
-    onehot = jax.nn.one_hot(sub_slot, pack, dtype=vals.dtype)  # (C, p)
-    return (onehot[:, :, None] * vals[:, None, :]).reshape(
-        vals.shape[0], pack * vals.shape[1])
+    packed_lookup selection). Lane-slice masked writes, not a one-hot outer
+    product (see packed_lookup)."""
+    slot = sub_slot[:, None]
+    return jnp.concatenate(
+        [jnp.where(slot == s, vals, 0.0) for s in range(pack)], axis=1)

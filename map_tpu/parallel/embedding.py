@@ -46,6 +46,62 @@ def _local_lookup(table_shard: jnp.ndarray, ids: jnp.ndarray,
     return jax.lax.psum(gathered, MODEL_AXIS)
 
 
+def sharded_rows_gather(table: jnp.ndarray, phys_ids: jnp.ndarray,
+                        mesh: Mesh) -> jnp.ndarray:
+    """Row gather from a (R, W) table row-sharded over MODEL, ids REPLICATED.
+
+    Building block for the sharded dedup decoder path (ops/dedup_scatter):
+    each shard gathers the rows it owns (masked) and the partials psum over
+    ICI. NOT differentiable on its own — the dedup custom VJP pairs it with
+    sharded_rows_scatter_add explicitly."""
+    if mesh.shape[MODEL_AXIS] == 1:
+        return jnp.take(table, phys_ids, axis=0)
+
+    def local(tab, ids):
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        rps = tab.shape[0]
+        li = ids - shard * rps
+        owned = (li >= 0) & (li < rps)
+        rows = jnp.take(tab, jnp.where(owned, li, 0), axis=0)
+        rows = jnp.where(owned[:, None], rows, 0.0)
+        return jax.lax.psum(rows, MODEL_AXIS)
+
+    return jax.shard_map(local, mesh=mesh,
+                         in_specs=(P(MODEL_AXIS, None), P()),
+                         out_specs=P())(table, phys_ids)
+
+
+def sharded_rows_scatter_add(phys_ids: jnp.ndarray, vals: jnp.ndarray,
+                             rows_total: int, mesh: Mesh,
+                             indices_are_sorted: bool = True) -> jnp.ndarray:
+    """Transpose of sharded_rows_gather: scatter-add a replicated compact
+    update stream into a row-sharded (rows_total, W) gradient. Each shard
+    scatters ONLY its owned block (ids outside the block — including
+    sentinels >= rows_total — drop via OOB semantics), so the scatter is
+    strictly shard-local (the north-star sharded scatter-add)."""
+    num = mesh.shape[MODEL_AXIS]
+    if num == 1:
+        return jnp.zeros((rows_total, vals.shape[1]), jnp.float32).at[
+            phys_ids].add(vals, mode="drop",
+                          indices_are_sorted=indices_are_sorted)
+    assert rows_total % num == 0
+    rps = rows_total // num
+
+    def local(ids, v):
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        li = ids - shard * rps
+        # NOTE: .at[] wraps NEGATIVE indices numpy-style BEFORE mode='drop'
+        # applies, so ids below the block must be remapped to a positive
+        # out-of-bounds slot. That breaks the ascending order of the prefix,
+        # so sortedness cannot be promised to XLA here.
+        li = jnp.where(li < 0, rps, li)
+        return jnp.zeros((rps, v.shape[1]), jnp.float32).at[li].add(
+            v, mode="drop", indices_are_sorted=False)
+
+    return jax.shard_map(local, mesh=mesh, in_specs=(P(), P()),
+                         out_specs=P(MODEL_AXIS, None))(phys_ids, vals)
+
+
 def sharded_embedding_lookup(table: jnp.ndarray, ids: jnp.ndarray,
                              mesh: Mesh) -> jnp.ndarray:
     """table (V, E) row-sharded over MODEL; ids (..., ) sharded over DATA on

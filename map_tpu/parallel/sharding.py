@@ -25,11 +25,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from map_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
-# Trailing path fragments identifying vocabulary-axis (row-shardable) tables.
-_TABLE_LEAVES = ("embedding", "emb")  # Embeddings table, NCE decoder table
-_TABLE_VECTOR_LEAVES = ()  # bias (V,) kept replicated: tiny and gather-heavy
-
-
 def _path_keys(path) -> tuple:
     keys = []
     for p in path:
@@ -42,27 +37,50 @@ def _path_keys(path) -> tuple:
     return tuple(keys)
 
 
+def is_vocab_table(path, leaf) -> bool:
+    """Vocabulary-table test: the known table params by name+structure
+    (input Embeddings 'embedding', NCE decoder 'emb' + 2-D packed 'bias',
+    the LR 'weight' table — flat or lane-packed storage), plus a size-based
+    CATCH-ALL (2-D, >=4096 rows, row-dominant) so any future vocab-sized
+    param shards even if its name is new. Dense-tower kernels never match
+    either clause (1-D biases; kernel rows are feature dims). Shared with
+    the fused-AdamW optimizer partition (map_tpu.train.optimizer) so 'what
+    row-shards' and 'what gets the fused dense update' are the same set.
+    Coverage pinned by tests/test_sharding.py::test_every_vocab_table_is_sharded."""
+    shape = getattr(leaf, "shape", ())
+    if len(shape) != 2:
+        return False
+    keys = _path_keys(path)
+    # check the last two keys: optimizer moments for a table sit one level
+    # below the param name (PartitionedTx stores (mu, nu) tuples at the
+    # param's position, so paths end with a tuple index)
+    tail = [k for k in keys[-2:]]
+    if any(k in ("embedding", "emb") for k in tail):
+        return True
+    if "bias" in tail and shape[1] == 128:  # lane-packed decoder bias
+        return True
+    if "weight" in tail and "lr_layer" in keys:
+        return True
+    return shape[0] >= 4096 and shape[0] >= 8 * shape[1]
+
+
 def leaf_pspec(path, leaf, table_sharding: str = "rows",
                num_model_shards: int = 1) -> P:
     if table_sharding == "replicated":
         return P()
-    keys = _path_keys(path)
-    leaf_name = keys[-1] if keys else ""
-    is_table = (
-        (leaf_name in _TABLE_LEAVES and getattr(leaf, "ndim", 0) == 2)
-        or (leaf_name == "weight" and "lr_layer" in keys
-            and getattr(leaf, "ndim", 0) == 2))
-    if is_table:
+    # 1-D vocab vectors (unpacked bias) stay replicated: tiny and gather-heavy
+    if is_vocab_table(path, leaf):
         rows = leaf.shape[0]
         if num_model_shards > 1 and rows % num_model_shards != 0:
-            # A vocabulary not divisible by the shard count cannot row-shard
-            # evenly; keep this table replicated (the lookup routing applies
-            # the same guard and falls back to a plain gather).
+            # Packed tables are 512-row aligned (ops/packed_table.ROW_ALIGN),
+            # so this only triggers for unpacked odd vocabularies; those fall
+            # back to replication (the lookup routing applies the same guard).
             import logging
 
             logging.getLogger(__name__).warning(
-                f"table {'/'.join(keys)} rows={rows} not divisible by "
-                f"num_model_shards={num_model_shards}; keeping it replicated")
+                f"table {'/'.join(_path_keys(path))} rows={rows} not "
+                f"divisible by num_model_shards={num_model_shards}; keeping "
+                f"it replicated")
             return P()
         return P(MODEL_AXIS, None)
     return P()

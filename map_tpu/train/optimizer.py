@@ -42,12 +42,14 @@ def no_decay_mask(params: Any) -> Any:
 
 
 def is_table_leaf(path, leaf) -> bool:
-    """Vocabulary-table heuristic for the fused dense-AdamW partition: 2-D,
-    many rows, row-dominant. Misclassification is harmless — the fused kernel
-    computes the identical AdamW update (pinned vs optax in
-    tests/test_fused_adamw.py) — it only changes which implementation runs."""
-    shape = getattr(leaf, "shape", ())
-    return (len(shape) == 2 and shape[0] >= 4096 and shape[0] >= 8 * shape[1])
+    """Vocabulary-table heuristic for the fused dense-AdamW partition — the
+    SAME size-based test the sharding rules use (parallel/sharding.py), so
+    the fused-update set and the row-sharded set coincide. Misclassification
+    is harmless for the optimizer — the fused kernel computes the identical
+    AdamW update (pinned vs optax in tests/test_fused_adamw.py)."""
+    from map_tpu.parallel.sharding import is_vocab_table
+
+    return is_vocab_table(path, leaf)
 
 
 class Replace:
@@ -105,7 +107,11 @@ class PartitionedTx:
 
     def update(self, grads, state, params):
         from map_tpu.ops.fused_adamw import fused_adamw_dense, pack_scalars
+        from map_tpu.parallel.context import table_mesh
 
+        # row-sharded tables take the XLA form (shards elementwise for free;
+        # a pallas_call would all-gather the table)
+        force_xla = table_mesh() is not None
         rest_state, table_state, count = state
         if self._rest is None:  # e.g. after restoring state in a new process
             self.init(params)
@@ -121,7 +127,8 @@ class PartitionedTx:
             wd = self.weight_decay if decays else 0.0
             scalars = pack_scalars(lr, wd, self.b1, self.b2, self.eps, ci)
             new_p, mu, nu = fused_adamw_dense(p, mom[0], mom[1],
-                                              g.astype(jnp.float32), scalars)
+                                              g.astype(jnp.float32), scalars,
+                                              force_xla=force_xla)
             return Replace(new_p), (mu, nu)
 
         flat_t, treedef = jax.tree_util.tree_flatten(table_mask)
