@@ -2,7 +2,14 @@
 
 Canonical config parity (reference `run_script/run_DCNv2_scratch.sh`): DCNv2,
 embed 16, MLP 3x1000, 3 cross layers, batch 4096, AdamW lr 1e-3 wd 0.1. Data
-is synthetic with Avazu-like geometry (24 fields, 1M-row vocabulary).
+is synthetic with Avazu-like geometry: 24 fields, ~1M-row vocabulary,
+FIELD-BLOCKED id space (each field owns a contiguous id range — the invariant
+the real preprocessing guarantees, `map_tpu/data/dataset.py` /
+reference `data_preprocess/proc_avazu.py:248-251`) with the heavy-tailed
+per-field cardinality mix of 5-core Avazu: a few huge ID fields hold most of
+the vocabulary, most fields are small. The field-blocked hybrid lookup
+(map_tpu.ops.hybrid_gather) exploits exactly that structure, so the bench
+must model it.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 `vs_baseline` is value / 400_000 — an engineering estimate of the reference's
@@ -32,10 +39,21 @@ def main() -> None:
     from map_tpu.train.optimizer import build_optimizer
 
     batch_size = 4096
-    num_fields = 24
-    input_size = 1_000_000
+    # 5-core-Avazu-shaped field cardinalities (24 fields, ~1M ids total):
+    # 3 huge ID fields (device_ip/device_id-class) + a small-field tail
+    field_sizes = [7, 7, 24, 26, 4100, 7600, 26, 8500, 560, 36, 8200, 5, 4,
+                   2600, 8, 450, 70, 170, 60, 101_000, 380_000, 500_000,
+                   30, 26]
+    num_fields = len(field_sizes)
+    idx_low, lo = [], 10  # ids 0..9 reserved (dataset invariant)
+    for s in field_sizes:
+        idx_low.append(lo)
+        lo += s
+    idx_high = idx_low[1:] + [lo]
+    input_size = lo
 
     cfg = Config(
+        idx_low=idx_low, idx_high=idx_high,
         model_name="dcnv2", input_size=input_size, num_fields=num_fields,
         embed_size=16, hidden_size=1000, num_hidden_layers=3, hidden_act="relu",
         hidden_dropout_rate=0.0, num_cross_layers=3, pretrain=False,
@@ -55,8 +73,9 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     batch = {
-        "input_ids": np.asarray(
-            rng.integers(10, input_size, (batch_size, num_fields)), np.int32),
+        "input_ids": np.stack(
+            [rng.integers(a, b, batch_size)
+             for a, b in zip(idx_low, idx_high)], axis=1).astype(np.int32),
         "labels": rng.integers(0, 2, batch_size).astype(np.float32),
         "weight": np.ones(batch_size, np.float32),
     }

@@ -81,6 +81,12 @@ class TrainingArguments:
     # (map_tpu.ops.fused_adamw); auto-disabled when max_grad_norm > 0 (the
     # global-norm clip needs one optax chain over every grad).
     fused_table_update: bool = True
+    # Field-blocked hybrid embedding access (map_tpu.ops.hybrid_gather):
+    # small-vocab fields gather from their statically-sliced resident block,
+    # big ID fields keep the flat gather. Requires every small-field id to
+    # stay in its block (the dataset invariant); build_config turns it off
+    # for RFD whole-vocab replacement generators.
+    field_blocked_lookup: bool = True
     table_sharding: str = "auto"  # auto | replicated | rows
     mock_devices: int = 0        # >0: force CPU with N virtual devices (testing)
     # Streaming eval: the device reduces each eval batch to two score
@@ -279,4 +285,10 @@ def build_config(model_args: ModelArguments, training_args: TrainingArguments,
     d["use_pallas"] = training_args.use_pallas
     d["compute_dtype"] = training_args.compute_dtype
     d["packed_tables"] = training_args.packed_tables
+    # RFD whole-vocab replacement writes out-of-block ids into every field —
+    # the field-blocked hybrid lookup's contract does not hold there
+    d["field_blocked_lookup"] = (
+        training_args.field_blocked_lookup
+        and not (training_args.pretrain and training_args.pt_type == "RFD"
+                 and training_args.RFD_replace.startswith("Whole")))
     return Config.from_dict(d)

@@ -38,6 +38,22 @@ def _dtype(config: Any):
     return resolve_dtype(getattr(config, "compute_dtype", None))
 
 
+def _field_bounds(config: Any):
+    """Static per-field (lo, hi) id ranges for the field-blocked hybrid
+    lookup (ops/hybrid_gather.py). None unless the dataset's id ranges are
+    known and `field_blocked_lookup` is enabled (run.py turns it off for
+    RFD whole-vocab generators, whose corrupted ids leave their blocks)."""
+    if not getattr(config, "field_blocked_lookup", True):
+        return None
+    lo = getattr(config, "idx_low", None)
+    hi = getattr(config, "idx_high", None)
+    if lo is None or hi is None:
+        return None
+    if len(lo) != config.num_fields or len(hi) != config.num_fields:
+        return None
+    return tuple((int(a), int(b)) for a, b in zip(lo, hi))
+
+
 def _embeddings(config: Any, name: str = "embed") -> Embeddings:
     return Embeddings(
         input_size=config.input_size,
@@ -48,6 +64,7 @@ def _embeddings(config: Any, name: str = "embed") -> Embeddings:
         dropout_rate=getattr(config, "embed_dropout_rate", 0.0),
         dtype=_dtype(config),
         packed=bool(getattr(config, "packed_tables", False)),
+        field_bounds=_field_bounds(config),
         name=name,
     )
 

@@ -87,6 +87,9 @@ class Embeddings(nn.Module):
     dropout_rate: float = 0.0
     dtype: Any = None
     packed: bool = False  # lane-packed (V/p, p*E) storage, map_tpu.ops.packed_table
+    # static per-field (lo, hi) id ranges: enables the field-blocked hybrid
+    # lookup (map_tpu.ops.hybrid_gather) for (B, F) id inputs when packed
+    field_bounds: Any = None
 
     @nn.compact
     def __call__(self, input_ids, train: bool = False):
@@ -105,7 +108,8 @@ class Embeddings(nn.Module):
                     self.embed_size)
 
             table = self.param("embedding", packed_init, pshape)
-            emb = packed_lookup(table, input_ids, self.embed_size)
+            emb = packed_lookup(table, input_ids, self.embed_size,
+                                field_bounds=self.field_bounds)
         else:
             table = self.param(
                 "embedding", init, (self.input_size, self.embed_size))

@@ -75,7 +75,8 @@ def unpack_table(packed: jnp.ndarray, input_size: int, embed_size: int):
 
 
 def packed_lookup(packed: jnp.ndarray, ids: jnp.ndarray, embed_size: int,
-                  use_pallas: bool = False) -> jnp.ndarray:
+                  use_pallas: bool = False,
+                  field_bounds=None) -> jnp.ndarray:
     """Gather logical rows from a packed table: (..., ) ids -> (..., E).
 
     Routes the physical-row gather through ops.embedding.embedding_lookup so
@@ -87,12 +88,28 @@ def packed_lookup(packed: jnp.ndarray, ids: jnp.ndarray, embed_size: int,
     einsum form forced layout-changing reshapes to (B, F, p, E) costing
     ~2 ms/step at the canonical config; the select-sum is pure elementwise
     VPU work on the gather's native layout and fuses into its consumer.
+
+    field_bounds: optional static tuple of per-field (lo, hi) logical id
+    ranges, valid only when ids is (B, F). Routes small-vocab fields through
+    the field-blocked hybrid path (ops/hybrid_gather.py) — resident-block
+    gathers forward, block scatters backward — and big ID fields through the
+    flat gather. Ignored when a table mesh is active (the shard_map exchange
+    owns the physical gather then).
     """
     from map_tpu.ops.embedding import embedding_lookup
 
     p = 128 // embed_size if (embed_size < 128 and 128 % embed_size == 0) else 1
     if packed.shape[1] == embed_size:  # unpacked table: plain path
         return embedding_lookup(packed, ids, use_pallas=use_pallas)
+    if field_bounds is not None and not use_pallas and ids.ndim == 2 \
+            and len(field_bounds) == ids.shape[1]:
+        from map_tpu.parallel.context import table_mesh
+
+        if table_mesh() is None:
+            from map_tpu.ops.hybrid_gather import hybrid_rows_gather
+
+            rows = hybrid_rows_gather(packed, ids, tuple(field_bounds), p, 10)
+            return select_sub_block(rows, ids % p, embed_size)
     rows = embedding_lookup(packed, ids // p, use_pallas=use_pallas)
     return select_sub_block(rows, ids % p, embed_size)
 
