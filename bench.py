@@ -52,7 +52,9 @@ def main() -> None:
     idx_high = idx_low[1:] + [lo]
     input_size = lo
 
+    hybrid = "--no-hybrid" not in sys.argv
     cfg = Config(
+        field_blocked_lookup=hybrid,
         idx_low=idx_low, idx_high=idx_high,
         model_name="dcnv2", input_size=input_size, num_fields=num_fields,
         embed_size=16, hidden_size=1000, num_hidden_layers=3, hidden_act="relu",

@@ -12,7 +12,7 @@ import jax
 
 
 def run_variant(name, fast_grad, shared_noise=False, nce_grad="xla",
-                ids_dist="zipf", per_field=False):
+                ids_dist="zipf", per_field=False, packed=False):
     from map_tpu import models
     from map_tpu.config import Config, TrainingArguments
     from map_tpu.objectives.alias import build_alias_table, noise_distribution
@@ -37,7 +37,8 @@ def run_variant(name, fast_grad, shared_noise=False, nce_grad="xla",
                  hidden_dropout_rate=0.0, num_cross_layers=3, pretrain=True,
                  pt_type="MFP", proj_size=32, pt_neg_num=25,
                  nce_loss_type="nce", embed_norm=False, layer_norm_eps=1e-12,
-                 embed_dropout_rate=0.0, use_pallas=False)
+                 embed_dropout_rate=0.0, use_pallas=False,
+                 packed_tables=packed)
     cfg.nce_grad = nce_grad
     cfg.logprob_noise = np.log(probs).astype(np.float32)
     cfg.norm_term = float(np.log(v))
@@ -96,6 +97,10 @@ def main():
         run_variant("xla-scatter", False)
     if which in ("dedup", "both"):
         run_variant("dedup-scatter", False, nce_grad="dedup")
+    if which in ("dedup-packed", "packed"):
+        run_variant("dedup-packed", False, nce_grad="dedup", packed=True)
+    if which in ("shared-packed",):
+        run_variant("shared-packed", False, shared_noise=True, packed=True)
     if which == "dedup-pallas":
         run_variant("dedup-pallas", False, nce_grad="dedup_pallas")
     if which == "dedup-uniform":

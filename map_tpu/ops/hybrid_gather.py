@@ -55,6 +55,22 @@ import jax.numpy as jnp
 # in fast memory and the flat path wins.
 SMALL_FIELD_MAX = 16384
 
+# Production default: hybrid FORWARD + flat scatter BACKWARD ("fwd").
+# Measured on v5e at the canonical config (bench.py, 2026-08-21):
+#   flat both directions             3.99 ms/step
+#   hybrid fwd + flat bwd ("fwd")    3.19 ms/step   <- default
+#   hybrid fwd + multi-op XLA bwd    5.44 ms/step   (19 per-field scatters
+#                                    each pay a large fixed cost)
+#   hybrid fwd + Pallas tile bwd     5.38 ms/step   ("bwd_pallas"; the
+#                                    one-op kernel loses to the single flat
+#                                    scatter that XLA fuses into the AdamW
+#                                    table pass — same fusion effect as
+#                                    round 1's scatter kernels)
+# Set MAP_TPU_HYBRID_MODE=both|fwd|bwd|bwd_pallas to re-measure.
+import os as _os
+
+_MODE = _os.environ.get("MAP_TPU_HYBRID_MODE", "fwd")
+
 
 def field_groups(bounds, pack: int):
     """Split fields by block size. bounds: static tuple of (lo, hi) logical
@@ -69,6 +85,12 @@ def field_groups(bounds, pack: int):
             small.append((f, lo, hi, plo, pe))
         else:
             big.append(f)
+    # The backward's concatenation assembly requires the small blocks to be
+    # ascending with monotone window ends (true for any field-blocked id
+    # space: ranges are disjoint and ordered). Anything else -> flat path.
+    for a, b in zip(small, small[1:]):
+        if not (a[1] <= b[1] and a[4] <= b[4] and a[3] <= b[3]):
+            return (), tuple(range(len(bounds)))
     return tuple(small), tuple(big)
 
 
@@ -76,10 +98,38 @@ def _resv_pe(nresv: int, pack: int) -> int:
     return max(1, -(-nresv // pack))
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _small_plan(small, pack):
+    """(pos, plo, pe) plan for the Pallas kernels + the field indices."""
+    plan = tuple((pos, plo, pe)
+                 for pos, (fi, lo, hi, plo, pe) in enumerate(small))
+    idx = [fi for fi, *_ in small]
+    return plan, idx
+
+
+def _phys_small(ids, small, pack):
+    """(Fs, B) physical ids, -1 where the id is outside the field's block
+    (reserved/invalid rows are handled by the separate tiny-table term)."""
+    cols = [fi for fi, *_ in small]
+    sub = ids[:, cols]                                   # (B, Fs)
+    lo = jnp.asarray([lo for _, lo, *_ in small], jnp.int32)
+    hi = jnp.asarray([hi for _, _, hi, *_ in small], jnp.int32)
+    in_block = (sub >= lo[None, :]) & (sub < hi[None, :])
+    return jnp.where(in_block, sub // pack, -1).T.astype(jnp.int32)
+
+
 def _gather_wide(packed, ids, bounds, pack, nresv):
     """Forward: (R, W) packed table + (B, F) logical ids -> (B, F, W)."""
     b, f = ids.shape
     w = packed.shape[1]
+    if _MODE == "bwd":
+        return jnp.take(packed, ids // pack, axis=0)
     small, big = field_groups(bounds, pack)
     assert len(small) + len(big) == f
     phys = ids // pack
@@ -94,20 +144,30 @@ def _gather_wide(packed, ids, bounds, pack, nresv):
     if small:
         rpe = _resv_pe(nresv, pack)
         resv_block = jax.lax.slice(packed, (0, 0), (rpe, w))
+        small_idx = [fi for fi, *_ in small]
+        # reserved-id term, all small fields at once: one tiny-source take
+        sub = ids[:, small_idx]                          # (B, Fs)
+        is_resv = sub < nresv
+        r_res = jnp.take(resv_block,
+                         jnp.clip(sub // pack, 0, rpe - 1).reshape(-1),
+                         axis=0).reshape(b, len(small), w)
+        r_res = jnp.where(is_resv[..., None], r_res, 0.0)
+        # Forward stays in the multi-op XLA form: per-field sliced-block
+        # gathers measured FASTER in-step than both the flat gather
+        # (3.19 vs 3.99 ms/step at the canonical config) and the one-op
+        # Pallas matmul form — the small sources stay resident and the
+        # gathers pipeline. (The BACKWARD is the opposite story: per-field
+        # XLA scatters each pay a large fixed cost; see _hg_bwd.)
         outs = []
-        for fi, lo, hi, plo, pe in small:
+        for pos, (fi, lo, hi, plo, pe) in enumerate(small):
             idf = ids[:, fi]
             in_block = (idf >= lo) & (idf < hi)
-            is_resv = idf < nresv
             local = jnp.clip(phys[:, fi] - plo, 0, pe - plo - 1)
             block = jax.lax.slice(packed, (plo, 0), (pe, w))
             r_blk = jnp.take(block, local, axis=0)
-            r_res = jnp.take(resv_block,
-                             jnp.clip(phys[:, fi], 0, rpe - 1), axis=0)
-            outs.append(jnp.where(in_block[:, None], r_blk,
-                                  jnp.where(is_resv[:, None], r_res, 0.0)))
-        parts.append(jnp.stack(outs, axis=1))
-        order.extend(fi for fi, *_ in small)
+            outs.append(jnp.where(in_block[:, None], r_blk, 0.0))
+        parts.append(jnp.stack(outs, axis=1) + r_res)
+        order.extend(small_idx)
     cat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
     if order == list(range(f)):
         return cat
@@ -133,48 +193,93 @@ def _hg_fwd(packed, ids, bounds, pack, nresv):
 
 
 def _hg_bwd(bounds, pack, nresv, res, g):
+    """Dense (R, W) gradient. Small-field contributions are computed as
+    block-sized scatters and ASSEMBLED BY CONCATENATION into one full-height
+    array (overlap rows at block boundaries are statically folded into the
+    preceding piece) — NOT by a chain of dynamic_update_slice read-modify-
+    writes on the dense buffer, which serializes ~F_small full-buffer
+    dependencies and measurably regresses the train step. The big-field
+    scatter then lands in-place on the assembled array."""
     ids, witness = res
     r, dt = witness.shape[0], witness.dtype
     w = g.shape[-1]
+    if _MODE == "fwd":
+        # production default: ONE flat scatter — XLA fuses it into the AdamW
+        # dense table pass, beating every decomposed form measured
+        flat = (ids // pack).reshape(-1)
+        return jnp.zeros((r, w), jnp.float32).at[flat].add(
+            g.astype(jnp.float32).reshape(-1, w)).astype(dt), None
     small, big = field_groups(bounds, pack)
     g = g.astype(jnp.float32)
     phys = ids // pack
-    if big:
-        big_idx = list(big)
-        dense = jnp.zeros((r, w), jnp.float32).at[
-            phys[:, big_idx].reshape(-1)].add(
-            g[:, big_idx].reshape(-1, w))
-    else:
-        dense = jnp.zeros((r, w), jnp.float32)
     if small:
         rpe = _resv_pe(nresv, pack)
-        resv_acc = jnp.zeros((rpe, w), jnp.float32)
-        for fi, lo, hi, plo, pe in small:
-            idf = ids[:, fi]
-            in_block = (idf >= lo) & (idf < hi)
-            is_resv = idf < nresv
-            gf = g[:, fi]
-            s = pe - plo
-            # out-of-block -> slot s (dropped by the slice); values are also
-            # masked because .at[] wraps negatives numpy-style before 'drop'
-            local = jnp.where(in_block,
-                              jnp.clip(phys[:, fi] - plo, 0, s - 1),
-                              jnp.int32(s))
-            bg = jnp.zeros((s + 1, w), jnp.float32).at[local].add(
-                jnp.where(in_block[:, None], gf, 0.0))[:s]
-            dense = jax.lax.dynamic_update_slice(
-                dense,
-                jax.lax.dynamic_slice(dense, (plo, 0), (s, w)) + bg,
-                (plo, 0))
-            # reserved ids: <= rpe destination rows -> masked sums, no scatter
-            for j in range(rpe):
-                hit = (is_resv & (phys[:, fi] == j))[:, None]
-                resv_acc = resv_acc.at[j].add(
-                    jnp.sum(jnp.where(hit, gf, 0.0), axis=0))
-        dense = jax.lax.dynamic_update_slice(
-            dense, jax.lax.dynamic_slice(dense, (0, 0), (rpe, w)) + resv_acc,
-            (0, 0))
+        small_idx = [fi for fi, *_ in small]
+        sub = ids[:, small_idx]                            # (B, Fs)
+        g_sub = g[:, small_idx]                            # (B, Fs, W)
+        is_resv = sub < nresv
+        # reserved ids: <= rpe destination rows -> masked sums, no scatter
+        resv_rows = []
+        for j in range(rpe):
+            hit = (is_resv & (sub // pack == j))[..., None]
+            resv_rows.append(jnp.sum(jnp.where(hit, g_sub, 0.0), axis=(0, 1)))
+        resv_acc = jnp.stack(resv_rows)                    # (rpe, W)
+        if _MODE == "bwd_pallas" and _on_tpu():
+            from map_tpu.ops.pallas_field_gather import (
+                assemble_dense, field_block_scatter, plan_pairs)
+
+            plan, _ = _small_plan(small, pack)
+            stack = field_block_scatter(
+                g_sub.reshape(g_sub.shape[0], -1),
+                _phys_small(ids, small, pack), small=plan, r=r)
+            dense = assemble_dense(stack, plan_pairs(plan, r)[0], r)
+        else:
+            dense = _assemble_xla(ids, g_sub, small, pack, r, w, phys)
+        dense = dense.at[:rpe].add(resv_acc)
+    else:
+        dense = jnp.zeros((r, w), jnp.float32)
+    if big:
+        big_idx = list(big)
+        dense = dense.at[phys[:, big_idx].reshape(-1)].add(
+            g[:, big_idx].reshape(-1, w))
     return dense.astype(dt), None
+
+
+def _assemble_xla(ids, g_sub, small, pack, r, w, phys):
+    """CPU/fallback small-field gradient: per-field block scatters assembled
+    by concatenation (overlap rows at block boundaries folded into the
+    preceding piece)."""
+    contribs = []  # (row_start, block_grad) in ascending row order
+    for pos, (fi, lo, hi, plo, pe) in enumerate(small):
+        idf = ids[:, fi]
+        in_block = (idf >= lo) & (idf < hi)
+        gf = g_sub[:, pos]
+        s = pe - plo
+        # out-of-block -> slot s (dropped by the slice); values are also
+        # masked because .at[] wraps negatives numpy-style before 'drop'
+        local = jnp.where(in_block,
+                          jnp.clip(phys[:, fi] - plo, 0, s - 1),
+                          jnp.int32(s))
+        bg = jnp.zeros((s + 1, w), jnp.float32).at[local].add(
+            jnp.where(in_block[:, None], gf, 0.0))[:s]
+        contribs.append((plo, bg))
+    parts, cursor = [], 0
+    for start, arr in contribs:
+        if start > cursor:
+            parts.append(jnp.zeros((start - cursor, w), jnp.float32))
+            cursor = start
+        elif start < cursor:  # boundary overlap: fold head into prior piece
+            ov = min(cursor - start, arr.shape[0])
+            prev = parts[-1]
+            parts[-1] = prev.at[prev.shape[0] - ov:].add(arr[:ov])
+            arr = arr[ov:]
+        if arr.shape[0]:
+            parts.append(arr)
+            cursor += arr.shape[0]
+    if cursor < r:
+        parts.append(jnp.zeros((r - cursor, w), jnp.float32))
+    return (jnp.concatenate(parts, axis=0) if parts
+            else jnp.zeros((r, w), jnp.float32))
 
 
 hybrid_rows_gather.defvjp(_hg_fwd, _hg_bwd)
