@@ -145,28 +145,27 @@ def _gather_wide(packed, ids, bounds, pack, nresv):
         rpe = _resv_pe(nresv, pack)
         resv_block = jax.lax.slice(packed, (0, 0), (rpe, w))
         small_idx = [fi for fi, *_ in small]
-        # reserved-id term, all small fields at once: one tiny-source take
-        sub = ids[:, small_idx]                          # (B, Fs)
-        is_resv = sub < nresv
-        r_res = jnp.take(resv_block,
-                         jnp.clip(sub // pack, 0, rpe - 1).reshape(-1),
-                         axis=0).reshape(b, len(small), w)
-        r_res = jnp.where(is_resv[..., None], r_res, 0.0)
         # Forward stays in the multi-op XLA form: per-field sliced-block
         # gathers measured FASTER in-step than both the flat gather
         # (3.19 vs 3.99 ms/step at the canonical config) and the one-op
         # Pallas matmul form — the small sources stay resident and the
-        # gathers pipeline. (The BACKWARD is the opposite story: per-field
-        # XLA scatters each pay a large fixed cost; see _hg_bwd.)
+        # gathers pipeline. Reserved ids ride a per-field take from the
+        # tiny [0, rpe) block, selected by a nested where. (The BACKWARD is
+        # the opposite story: per-field XLA scatters each pay a large fixed
+        # cost; see _hg_bwd.)
         outs = []
         for pos, (fi, lo, hi, plo, pe) in enumerate(small):
             idf = ids[:, fi]
             in_block = (idf >= lo) & (idf < hi)
+            is_resv = idf < nresv
             local = jnp.clip(phys[:, fi] - plo, 0, pe - plo - 1)
             block = jax.lax.slice(packed, (plo, 0), (pe, w))
             r_blk = jnp.take(block, local, axis=0)
-            outs.append(jnp.where(in_block[:, None], r_blk, 0.0))
-        parts.append(jnp.stack(outs, axis=1) + r_res)
+            r_res = jnp.take(resv_block,
+                             jnp.clip(phys[:, fi], 0, rpe - 1), axis=0)
+            outs.append(jnp.where(in_block[:, None], r_blk,
+                                  jnp.where(is_resv[:, None], r_res, 0.0)))
+        parts.append(jnp.stack(outs, axis=1))
         order.extend(small_idx)
     cat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
     if order == list(range(f)):
