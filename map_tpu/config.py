@@ -279,8 +279,12 @@ def build_config(model_args: ModelArguments, training_args: TrainingArguments,
     d["pt_type"] = training_args.pt_type
     d["RFD_replace"] = training_args.RFD_replace
     d["feat_count"] = dataset.feat_count
-    d["idx_low"] = dataset.idx_low
-    d["idx_high"] = dataset.idx_high
+    # plain lists so config.json round-trips them (serving/resume keep the
+    # field-blocked hybrid lookup; numpy arrays are dropped on save)
+    d["idx_low"] = (None if dataset.idx_low is None
+                    else [int(x) for x in dataset.idx_low])
+    d["idx_high"] = (None if dataset.idx_high is None
+                     else [int(x) for x in dataset.idx_high])
     d["feat_num_per_field"] = dataset.feat_num_per_field
     d["use_pallas"] = training_args.use_pallas
     d["compute_dtype"] = training_args.compute_dtype

@@ -65,19 +65,17 @@ class CTRDataset:
     def _count_feat_per_field(self, feat_ids: np.ndarray) -> None:
         """Per-field id ranges for RFD-Uniform sampling (dataset.py:64-75)
         and for per-field MFP candidate sampling (north-star upgrade)."""
-        if (getattr(self.args, "pt_type", None) == "RFD" and
-                getattr(self.args, "RFD_replace", None) == "Uniform") or \
-                getattr(self.args, "pt_per_field_noise", False):
-            self.idx_low = feat_ids.min(axis=0).astype(np.int32)
-            self.idx_high = (feat_ids.max(axis=0) + 1).astype(np.int32)
-            self.feat_num_per_field = self.idx_high - self.idx_low
-            # Every value must sit inside its field block (dataset.py:71).
-            in_range = (feat_ids >= self.idx_low[None, :]) & (feat_ids < self.idx_high[None, :])
-            assert in_range.all(), "feature id outside its field block"
-        else:
-            self.idx_low = None
-            self.idx_high = None
-            self.feat_num_per_field = None
+        # Per-field id ranges. The reference computes these lazily for its
+        # RFD-Uniform mode (dataset.py:71); here they are ALWAYS computed:
+        # the field-blocked hybrid lookup (ops/hybrid_gather.py) keys off
+        # them for every objective, and the in-block assert is exactly that
+        # path's correctness contract.
+        self.idx_low = feat_ids.min(axis=0).astype(np.int32)
+        self.idx_high = (feat_ids.max(axis=0) + 1).astype(np.int32)
+        self.feat_num_per_field = self.idx_high - self.idx_low
+        in_range = (feat_ids >= self.idx_low[None, :]) & \
+            (feat_ids < self.idx_high[None, :])
+        assert in_range.all(), "feature id outside its field block"
 
     @property
     def num_fields(self) -> int:
