@@ -97,22 +97,32 @@ def main() -> None:
         state, metrics = train_step(state, device_batch)
     float(metrics["loss"])
 
-    n_steps = 100
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, metrics = train_step(state, device_batch)
-    final_loss = float(metrics["loss"])  # forces the whole dependency chain
-    dt = time.perf_counter() - t0
+    # Median of several independent trials, each a long window: at ~3 ms/step
+    # a single 100-step trial is a ~0.3 s window and tunnel jitter alone can
+    # move the result ~10% run-to-run (round-2 driver 2.79x vs builder 3.09x
+    # on the same code). 3 x 300 steps with a per-trial host-fetch barrier
+    # makes one jitter burst cost at most one trial, and the median drops it.
+    n_steps, n_trials = 300, 3
+    trial_rates = []
+    final_loss = 0.0
+    for _ in range(n_trials):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state, metrics = train_step(state, device_batch)
+        final_loss = float(metrics["loss"])  # forces the dependency chain
+        dt = time.perf_counter() - t0
+        trial_rates.append(batch_size * n_steps / dt)
 
-    examples_per_sec = batch_size * n_steps / dt
+    examples_per_sec = float(np.median(trial_rates))
     print(json.dumps({
         "metric": "dcnv2_train_examples_per_sec_per_chip",
         "value": round(examples_per_sec, 1),
         "unit": "examples/s",
         "vs_baseline": round(examples_per_sec / REFERENCE_GPU_EXAMPLES_PER_SEC, 3),
     }))
-    print(f"steps/s = {n_steps / dt:.2f}, loss = {final_loss:.4f}",
-          file=sys.stderr)
+    print(f"trials (ex/s) = {[round(r) for r in trial_rates]}, "
+          f"median steps/s = {examples_per_sec / batch_size:.2f}, "
+          f"loss = {final_loss:.4f}", file=sys.stderr)
 
 
 if __name__ == "__main__":

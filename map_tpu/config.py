@@ -87,6 +87,11 @@ class TrainingArguments:
     # stay in its block (the dataset invariant); build_config turns it off
     # for RFD whole-vocab replacement generators.
     field_blocked_lookup: bool = True
+    # Hybrid backward-mode override (ops/hybrid_gather.py: fwd | matmul |
+    # both | bwd | bwd_pallas); "" = MAP_TPU_HYBRID_MODE env or the measured
+    # default. Threaded through Embeddings as a static arg so jit caches key
+    # on it (round-2 advisor: module-global knobs are invisible to jit).
+    hybrid_mode: str = ""
     table_sharding: str = "auto"  # auto | replicated | rows
     mock_devices: int = 0        # >0: force CPU with N virtual devices (testing)
     # Streaming eval: the device reduces each eval batch to two score
@@ -95,6 +100,10 @@ class TrainingArguments:
     # error O(1/auc_bins); default off = exact sklearn-parity host AUC.
     streaming_auc: bool = False
     auc_bins: int = 32768
+    # Multi-host (process_count > 1) evals default to streaming AUC so no
+    # host ever materializes the global per-example arrays; this flag forces
+    # the exact allgather path back on (small eval splits only).
+    exact_eval_allgather: bool = False
 
     @property
     def train_batch_size(self) -> int:
@@ -293,6 +302,8 @@ def build_config(model_args: ModelArguments, training_args: TrainingArguments,
     # the field-blocked hybrid lookup's contract does not hold there
     d["field_blocked_lookup"] = (
         training_args.field_blocked_lookup
+        and getattr(dataset, "field_blocked_ok", True)
         and not (training_args.pretrain and training_args.pt_type == "RFD"
                  and training_args.RFD_replace.startswith("Whole")))
+    d["hybrid_mode"] = getattr(training_args, "hybrid_mode", "")
     return Config.from_dict(d)

@@ -73,9 +73,20 @@ class CTRDataset:
         self.idx_low = feat_ids.min(axis=0).astype(np.int32)
         self.idx_high = (feat_ids.max(axis=0) + 1).astype(np.int32)
         self.feat_num_per_field = self.idx_high - self.idx_low
-        in_range = (feat_ids >= self.idx_low[None, :]) & \
-            (feat_ids < self.idx_high[None, :])
-        assert in_range.all(), "feature id outside its field block"
+        # The hybrid lookup's actual contract (its small-field routing slices
+        # blocks out of the table by these ranges): blocks must sit above the
+        # reserved ids and be pairwise disjoint in ascending field order. A
+        # dataset violating it (hand-built artifacts, overlapping id maps)
+        # silently loses the invariant, so disable the hybrid path rather
+        # than mis-route gradients. (The reference's own assert,
+        # dataset.py:71, checks values against lazily-computed min/max and is
+        # tautological when the ranges come from the same array.)
+        ok = self.idx_low.min() >= 10 and bool(
+            np.all(self.idx_low[1:] >= self.idx_high[:-1]))
+        if not ok:
+            self.field_blocked_ok = False
+        else:
+            self.field_blocked_ok = True
 
     @property
     def num_fields(self) -> int:

@@ -65,6 +65,8 @@ def _embeddings(config: Any, name: str = "embed") -> Embeddings:
         dtype=_dtype(config),
         packed=bool(getattr(config, "packed_tables", False)),
         field_bounds=_field_bounds(config),
+        hybrid_mode=getattr(config, "hybrid_mode", "") or "",
+        nresv=int(getattr(config, "reserved_ids", 10) or 10),
         name=name,
     )
 

@@ -90,6 +90,11 @@ class Embeddings(nn.Module):
     # static per-field (lo, hi) id ranges: enables the field-blocked hybrid
     # lookup (map_tpu.ops.hybrid_gather) for (B, F) id inputs when packed
     field_bounds: Any = None
+    # hybrid backward-mode override (config.hybrid_mode; "" = env/default)
+    hybrid_mode: str = ""
+    # reserved-id count (ids 0..nresv-1: <pad>/<cls>/<sep>/<mask>/unused —
+    # dataset invariant, reference data_preprocess/proc_avazu.py:214-220)
+    nresv: int = 10
 
     @nn.compact
     def __call__(self, input_ids, train: bool = False):
@@ -109,7 +114,9 @@ class Embeddings(nn.Module):
 
             table = self.param("embedding", packed_init, pshape)
             emb = packed_lookup(table, input_ids, self.embed_size,
-                                field_bounds=self.field_bounds)
+                                field_bounds=self.field_bounds,
+                                hybrid_mode=self.hybrid_mode or None,
+                                nresv=self.nresv)
         else:
             table = self.param(
                 "embedding", init, (self.input_size, self.embed_size))

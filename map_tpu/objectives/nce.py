@@ -137,17 +137,18 @@ class IndexLinearDecoder(nn.Module):
         if nce_grad in ("dedup", "dedup_pallas") and dedup_ok:
             from map_tpu.ops import dedup_scatter
 
-            # trace-time switch: the compact scatter runs through the Pallas
+            # static arg (keys the jit cache, round-2 advisor): under
+            # 'dedup_pallas' the compact scatter runs through the Pallas
             # sorted-unique one-hot-matmul kernel (12.5 vs 20.5 ms at MFP
-            # scale, bit-exact) when 'dedup_pallas' is selected
-            dedup_scatter.USE_PALLAS_SCATTER = (nce_grad == "dedup_pallas")
+            # scale, bit-exact) on the unpacked storage path
+            use_pallas_scatter = nce_grad == "dedup_pallas"
             if self.packed:
                 rows, b = dedup_scatter.decoder_gather_packed(
                     self.emb, self.bias, indices, self.proj_size,
                     self.input_size)
             else:
-                rows, b = dedup_scatter.decoder_gather(self.emb, self.bias,
-                                                       indices)
+                rows, b = dedup_scatter.decoder_gather(
+                    self.emb, self.bias, indices, use_pallas_scatter)
         else:
             rows, b = self._lookup_rows(indices)
         return jnp.einsum("bme,bmce->bmc", inputs, rows) + b

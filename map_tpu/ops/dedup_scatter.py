@@ -168,11 +168,6 @@ DECODER_CAPACITY = DEFAULT_CAPACITY
 # fusion), so the default is ONE tier; override DECODER_TIERS for workloads
 # whose unique count is far below capacity.
 DECODER_TIERS = (DECODER_CAPACITY,)
-# When True (set by the NCE decoder under nce_grad='dedup_pallas'), the folded
-# compact scatter runs through the Pallas sorted-unique one-hot-matmul kernel
-# (ops/pallas_scatter.scatter_unique_sorted: 12.5 vs 20.5 ms at the canonical
-# MFP scale, bit-exact) instead of XLA's serialized scatter.
-USE_PALLAS_SCATTER = False
 
 
 def _pick_tier(tiers, num_unique, build_small, build_fallback, n):
@@ -232,15 +227,21 @@ def _fold_stream(g_perm: jnp.ndarray, start_pos, end_pos, valid):
     return jnp.where(valid[:, None], hi - lo, 0.0)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=())
-def decoder_gather(emb: jnp.ndarray, bias: jnp.ndarray, ids: jnp.ndarray):
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def decoder_gather(emb: jnp.ndarray, bias: jnp.ndarray, ids: jnp.ndarray,
+                   use_pallas_scatter: bool = False):
     """Candidate gather for the NCE decoder: rows (..., E) from `emb` (V, E)
     and scalars (...,) from `bias` (V,), sharing one id set (the two
-    index_selects at reference `code/nce/index_linear.py:99-100`)."""
+    index_selects at reference `code/nce/index_linear.py:99-100`).
+
+    use_pallas_scatter: static — the folded compact scatter runs through the
+    Pallas sorted-unique one-hot-matmul kernel
+    (ops/pallas_scatter.scatter_unique_sorted: 12.5 vs 20.5 ms at the
+    canonical MFP scale, bit-exact) instead of XLA's serialized scatter."""
     return jnp.take(emb, ids, axis=0), jnp.take(bias, ids)
 
 
-def _dg_fwd(emb, bias, ids):
+def _dg_fwd(emb, bias, ids, use_pallas_scatter=False):
     v, e = emb.shape
     flat = ids.reshape(-1).astype(jnp.int32)
     n = flat.shape[0]
@@ -272,7 +273,7 @@ def _dg_fwd(emb, bias, ids):
     return (rows, b), res
 
 
-def _dg_bwd(res, gout):
+def _dg_bwd(use_pallas_scatter, res, gout):
     (flat, ids_shape, v, sids, order, uids_c, start_pos, end_pos, valid,
      num_unique) = res
     g_rows, g_b = gout
@@ -293,7 +294,7 @@ def _dg_bwd(res, gout):
             vals_b = _fold_stream(gb_s, start_pos, end_pos, valid)
             vals = jnp.concatenate([vals_e, vals_b], axis=1)  # (C, E+1) tiny
             uids_safe = jnp.where(valid, uids_c, jnp.int32(v))  # sentinel -> drop
-            if USE_PALLAS_SCATTER:
+            if use_pallas_scatter:
                 from map_tpu.ops.pallas_scatter import scatter_unique_sorted
 
                 out = scatter_unique_sorted(uids_safe[:c], vals[:c], v)

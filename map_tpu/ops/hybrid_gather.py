@@ -55,10 +55,15 @@ import jax.numpy as jnp
 # in fast memory and the flat path wins.
 SMALL_FIELD_MAX = 16384
 
-# Production default: hybrid FORWARD + flat scatter BACKWARD ("fwd").
-# Measured on v5e at the canonical config (bench.py, 2026-08-21):
+# Backward-mode selection. Measured on v5e at the canonical config (bench.py,
+# 2026-08-21, round 2 unless noted):
 #   flat both directions             3.99 ms/step
-#   hybrid fwd + flat bwd ("fwd")    3.19 ms/step   <- default
+#   hybrid fwd + flat bwd ("fwd")    3.19 ms/step
+#   hybrid fwd + matmul bwd          (round 3, measured in PERFORMANCE.md):
+#                                    small-field gradients as per-field
+#                                    one-hot MXU matmuls (no per-op scatter
+#                                    fixed cost), flat scatter only for the
+#                                    ~B*n_big big-field rows
 #   hybrid fwd + multi-op XLA bwd    5.44 ms/step   (19 per-field scatters
 #                                    each pay a large fixed cost)
 #   hybrid fwd + Pallas tile bwd     5.38 ms/step   ("bwd_pallas"; the
@@ -66,20 +71,32 @@ SMALL_FIELD_MAX = 16384
 #                                    scatter that XLA fuses into the AdamW
 #                                    table pass — same fusion effect as
 #                                    round 1's scatter kernels)
-# Set MAP_TPU_HYBRID_MODE=both|fwd|bwd|bwd_pallas to re-measure.
+# The mode is a per-call static argument (threaded from config through
+# Embeddings); mode=None reads MAP_TPU_HYBRID_MODE at trace time (bench A/B
+# knob), defaulting to "matmul".
 import os as _os
 
-_MODE = _os.environ.get("MAP_TPU_HYBRID_MODE", "fwd")
+_DEFAULT_MODE = "matmul"
 
 
-def field_groups(bounds, pack: int):
+def _resolve_mode(mode):
+    if mode:
+        return mode
+    return _os.environ.get("MAP_TPU_HYBRID_MODE", _DEFAULT_MODE)
+
+
+def field_groups(bounds, pack: int, nresv: int = 10):
     """Split fields by block size. bounds: static tuple of (lo, hi) logical
     id ranges per field. Returns (small, big): small = tuple of
     (field, lo, hi, plo, pe) with [plo, pe) the physical-row window; big =
-    tuple of field indices."""
+    tuple of field indices.
+
+    A small field whose block starts below nresv would make 'reserved' and
+    'in-block' overlap (double-counting that id's gradient in the decomposed
+    backward modes), so such fields take the flat path instead."""
     small, big = [], []
     for f, (lo, hi) in enumerate(bounds):
-        if hi - lo <= SMALL_FIELD_MAX and hi > lo:
+        if nresv <= lo and hi - lo <= SMALL_FIELD_MAX and hi > lo:
             plo = lo // pack
             pe = (hi - 1) // pack + 1
             small.append((f, lo, hi, plo, pe))
@@ -124,13 +141,13 @@ def _phys_small(ids, small, pack):
     return jnp.where(in_block, sub // pack, -1).T.astype(jnp.int32)
 
 
-def _gather_wide(packed, ids, bounds, pack, nresv):
+def _gather_wide(packed, ids, bounds, pack, nresv, mode=None):
     """Forward: (R, W) packed table + (B, F) logical ids -> (B, F, W)."""
     b, f = ids.shape
     w = packed.shape[1]
-    if _MODE == "bwd":
+    if _resolve_mode(mode) == "bwd":
         return jnp.take(packed, ids // pack, axis=0)
-    small, big = field_groups(bounds, pack)
+    small, big = field_groups(bounds, pack, nresv)
     assert len(small) + len(big) == f
     phys = ids // pack
     parts = []
@@ -176,39 +193,42 @@ def _gather_wide(packed, ids, bounds, pack, nresv):
     return jnp.take(cat, jnp.asarray(inv, jnp.int32), axis=1)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def hybrid_rows_gather(packed: jnp.ndarray, ids: jnp.ndarray,
-                       bounds, pack: int, nresv: int) -> jnp.ndarray:
+                       bounds, pack: int, nresv: int,
+                       mode: str | None = None) -> jnp.ndarray:
     """Physical-row lookup (B, F) -> (B, F, W) with field-blocked routing.
 
-    bounds/pack/nresv are static. See module docstring for the contract."""
-    return _gather_wide(packed, ids, bounds, pack, nresv)
+    bounds/pack/nresv/mode are static; mode=None reads MAP_TPU_HYBRID_MODE
+    at trace time. See module docstring for the contract."""
+    return _gather_wide(packed, ids, bounds, pack, nresv, mode)
 
 
-def _hg_fwd(packed, ids, bounds, pack, nresv):
+def _hg_fwd(packed, ids, bounds, pack, nresv, mode=None):
     # packed[:, :0]: zero-byte witness carrying the row count and dtype
-    return _gather_wide(packed, ids, bounds, pack, nresv), \
+    return _gather_wide(packed, ids, bounds, pack, nresv, mode), \
         (ids, packed[:, :0])
 
 
-def _hg_bwd(bounds, pack, nresv, res, g):
-    """Dense (R, W) gradient. Small-field contributions are computed as
-    block-sized scatters and ASSEMBLED BY CONCATENATION into one full-height
-    array (overlap rows at block boundaries are statically folded into the
-    preceding piece) — NOT by a chain of dynamic_update_slice read-modify-
-    writes on the dense buffer, which serializes ~F_small full-buffer
-    dependencies and measurably regresses the train step. The big-field
-    scatter then lands in-place on the assembled array."""
+def _hg_bwd(bounds, pack, nresv, mode, res, g):
+    """Dense (R, W) gradient. In the decomposed modes, small-field
+    contributions are block-sized arrays ASSEMBLED BY CONCATENATION into one
+    full-height array (overlap rows at block boundaries are statically folded
+    into the preceding piece) — NOT by a chain of dynamic_update_slice
+    read-modify-writes on the dense buffer, which serializes ~F_small
+    full-buffer dependencies and measurably regresses the train step. The
+    big-field scatter then lands in-place on the assembled array."""
     ids, witness = res
     r, dt = witness.shape[0], witness.dtype
     w = g.shape[-1]
-    if _MODE == "fwd":
-        # production default: ONE flat scatter — XLA fuses it into the AdamW
-        # dense table pass, beating every decomposed form measured
+    mode = _resolve_mode(mode)
+    if mode == "fwd":
+        # ONE flat scatter over all B*F rows — XLA fuses it into the AdamW
+        # dense table pass; beat every decomposed form until the matmul mode
         flat = (ids // pack).reshape(-1)
         return jnp.zeros((r, w), jnp.float32).at[flat].add(
             g.astype(jnp.float32).reshape(-1, w)).astype(dt), None
-    small, big = field_groups(bounds, pack)
+    small, big = field_groups(bounds, pack, nresv)
     g = g.astype(jnp.float32)
     phys = ids // pack
     if small:
@@ -217,13 +237,17 @@ def _hg_bwd(bounds, pack, nresv, res, g):
         sub = ids[:, small_idx]                            # (B, Fs)
         g_sub = g[:, small_idx]                            # (B, Fs, W)
         is_resv = sub < nresv
-        # reserved ids: <= rpe destination rows -> masked sums, no scatter
+        # reserved ids: <= rpe destination rows -> masked sums, no scatter.
+        # (field_groups guarantees small-field blocks start at >= nresv, so
+        # 'reserved' and 'in-block' are disjoint — no double count.)
         resv_rows = []
         for j in range(rpe):
             hit = (is_resv & (sub // pack == j))[..., None]
             resv_rows.append(jnp.sum(jnp.where(hit, g_sub, 0.0), axis=(0, 1)))
         resv_acc = jnp.stack(resv_rows)                    # (rpe, W)
-        if _MODE == "bwd_pallas" and _on_tpu():
+        if mode == "matmul":
+            dense = _assemble_matmul(ids, g_sub, small, pack, r, w, phys)
+        elif mode == "bwd_pallas" and _on_tpu() and _pallas_tiles_ok(small, r):
             from map_tpu.ops.pallas_field_gather import (
                 assemble_dense, field_block_scatter, plan_pairs)
 
@@ -244,6 +268,38 @@ def _hg_bwd(bounds, pack, nresv, res, g):
     return dense.astype(dt), None
 
 
+def _pallas_tiles_ok(small, r: int) -> bool:
+    """field_block_scatter reshapes the packed row space into full TILE-row
+    stacks; tables below ROW_ALIGN rows are not tile-aligned (packed_rows
+    only rounds up at >= 512 rows), so route those to the XLA assembly."""
+    from map_tpu.ops.pallas_field_gather import TILE
+
+    return r % TILE == 0
+
+
+def _assemble_matmul(ids, g_sub, small, pack, r, w, phys):
+    """Small-field gradients as per-field one-hot MXU matmuls: for field f
+    with an s-row physical block, block_grad = onehot(local)^T @ g_f — an
+    (s, B) x (B, W) matmul in f32 (precision=HIGHEST keeps the f32 operand
+    exact; each output element is a sum of selected g rows, the same values a
+    scatter-add would fold). Matmuls carry none of the large per-op fixed
+    cost that made per-field XLA scatters regress (5.44 ms/step, round 2);
+    the flat scatter is left to handle only the big-field rows."""
+    contribs = []
+    for pos, (fi, lo, hi, plo, pe) in enumerate(small):
+        idf = ids[:, fi]
+        in_block = (idf >= lo) & (idf < hi)
+        gf = jnp.where(in_block[:, None], g_sub[:, pos], 0.0)      # (B, W)
+        s = pe - plo
+        local = jnp.clip(phys[:, fi] - plo, 0, s - 1)
+        onehot = (jax.lax.iota(jnp.int32, s)[:, None]
+                  == local[None, :]).astype(jnp.float32)           # (s, B)
+        bg = jax.lax.dot(onehot, gf,
+                         precision=jax.lax.Precision.HIGHEST)      # (s, W)
+        contribs.append((plo, bg))
+    return _concat_blocks(contribs, r, w)
+
+
 def _assemble_xla(ids, g_sub, small, pack, r, w, phys):
     """CPU/fallback small-field gradient: per-field block scatters assembled
     by concatenation (overlap rows at block boundaries folded into the
@@ -262,6 +318,12 @@ def _assemble_xla(ids, g_sub, small, pack, r, w, phys):
         bg = jnp.zeros((s + 1, w), jnp.float32).at[local].add(
             jnp.where(in_block[:, None], gf, 0.0))[:s]
         contribs.append((plo, bg))
+    return _concat_blocks(contribs, r, w)
+
+
+def _concat_blocks(contribs, r, w):
+    """Assemble ascending (row_start, block_grad) pieces into an (r, w) array
+    by concatenation, folding boundary-overlap rows into the prior piece."""
     parts, cursor = [], 0
     for start, arr in contribs:
         if start > cursor:

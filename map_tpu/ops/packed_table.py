@@ -76,7 +76,8 @@ def unpack_table(packed: jnp.ndarray, input_size: int, embed_size: int):
 
 def packed_lookup(packed: jnp.ndarray, ids: jnp.ndarray, embed_size: int,
                   use_pallas: bool = False,
-                  field_bounds=None) -> jnp.ndarray:
+                  field_bounds=None, hybrid_mode: str | None = None,
+                  nresv: int = 10) -> jnp.ndarray:
     """Gather logical rows from a packed table: (..., ) ids -> (..., E).
 
     Routes the physical-row gather through ops.embedding.embedding_lookup so
@@ -108,7 +109,8 @@ def packed_lookup(packed: jnp.ndarray, ids: jnp.ndarray, embed_size: int,
         if table_mesh() is None:
             from map_tpu.ops.hybrid_gather import hybrid_rows_gather
 
-            rows = hybrid_rows_gather(packed, ids, tuple(field_bounds), p, 10)
+            rows = hybrid_rows_gather(packed, ids, tuple(field_bounds), p,
+                                      nresv, hybrid_mode)
             return select_sub_block(rows, ids % p, embed_size)
     rows = embedding_lookup(packed, ids // p, use_pallas=use_pallas)
     return select_sub_block(rows, ids % p, embed_size)

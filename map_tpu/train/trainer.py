@@ -55,9 +55,20 @@ class Trainer:
         self._multi_eval = None
         self._eval_has_rng = False
         self._profiler_active = False
+        streaming = bool(getattr(training_args, "streaming_auc", False))
+        if (not streaming and jax.process_count() > 1
+                and not getattr(training_args, "exact_eval_allgather", False)):
+            # Multi-host default: the non-streaming eval allgathers every
+            # per-example logits/probs/labels array to every host — O(global
+            # eval split) host memory x hosts, unaffordable at Criteo's 4.6M
+            # test rows. Streaming histograms reduce each batch to O(bins) on
+            # device and the certified error bound (utils/metrics.py) gates
+            # selection safety. --exact_eval_allgather restores the old path.
+            streaming = True
+            logger.info("multi-host eval: streaming-histogram AUC enabled by "
+                        "default (pass --exact_eval_allgather to override)")
         self._streaming_bins = (int(getattr(training_args, "auc_bins", 32768))
-                                if getattr(training_args, "streaming_auc", False)
-                                else 0)
+                                if streaming else 0)
 
         if getattr(self.config, "pretrain", False) and self.config.pt_type == "MFP":
             probs = noise_distribution(self.config.feat_count)

@@ -44,11 +44,16 @@ if __name__ == "__main__" and (len(sys.argv) < 2 or sys.argv[1] != "train"):
 def train_main() -> int:
     """REAL multi-host supervised train + eval: each process owns its block
     of every global batch (loader process sharding), steps the jitted train
-    fn over the global mesh, runs the allgather eval, and prints
-    'TRAIN_OK <final_eval_auc> <first_loss>' — compared against the
-    single-process run by tests/test_multiprocess.py."""
+    fn over the global mesh, runs the eval, and prints
+    'TRAIN_OK <final_eval_auc> <eval_mode>' — compared against the
+    single-process run by tests/test_multiprocess.py.
+
+    argv[6] (optional): 'exact' forces the allgather eval (the equality
+    contract vs single-process); 'default' leaves flags alone, which under
+    process_count > 1 must auto-select the streaming-histogram eval."""
     port, pid, nprocs, data_dir = (sys.argv[2], sys.argv[3], sys.argv[4],
                                    sys.argv[5])
+    eval_mode = sys.argv[6] if len(sys.argv) > 6 else "exact"
     port, pid, nprocs = int(port), int(pid), int(nprocs)
     devs_per_proc = 4 // nprocs
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
@@ -70,7 +75,8 @@ def train_main() -> int:
         per_device_train_batch_size=32, per_device_eval_batch_size=64,
         learning_rate=1e-3, weight_decay=0.1, lr_sched="const",
         warmup_ratio=0.0, max_grad_norm=0.0, num_train_epochs=1,
-        logging_steps=1000, seed=42, steps_per_call=4)
+        logging_steps=1000, seed=42, steps_per_call=4,
+        exact_eval_allgather=(eval_mode == "exact"))
     margs = ModelArguments(model_name="dnn", embed_size=8, hidden_size=32,
                            num_hidden_layers=2, hidden_dropout_rate=0.0)
     ds = CTRDataset(args)
@@ -79,7 +85,8 @@ def train_main() -> int:
     trainer = Trainer(model, config, args, ds)
     trainer.train()
     auc = trainer.eval_metrics[-1][0]
-    print(f"TRAIN_OK {auc:.10f}", flush=True)
+    used = "stream" if trainer._streaming_bins > 0 else "exact"
+    print(f"TRAIN_OK {auc:.10f} {used}", flush=True)
     return 0
 
 

@@ -72,10 +72,10 @@ def test_decoder_gather_grads_match_oracle(num_distinct, monkeypatch):
                                rtol=3e-4, atol=3e-4)
 
 
-def test_decoder_gather_pallas_scatter_mode(monkeypatch):
-    """nce_grad='dedup_pallas' wiring: off-TPU the kernel falls back to
-    segment_sum, so gradients must still match the oracle exactly."""
-    monkeypatch.setattr(ds, "USE_PALLAS_SCATTER", True)
+def test_decoder_gather_pallas_scatter_mode():
+    """nce_grad='dedup_pallas' wiring (static use_pallas_scatter arg):
+    off-TPU the kernel falls back to segment_sum, so gradients must still
+    match the oracle exactly."""
     rng = np.random.default_rng(0)
     v, e = 2000, 8
     ids = jnp.asarray(rng.integers(0, v, (8, 3, 6)), jnp.int32)
@@ -87,8 +87,9 @@ def test_decoder_gather_pallas_scatter_mode(monkeypatch):
         rows, bb = gather(emb, bias, ids)
         return jnp.sum(jnp.tanh(jnp.einsum("bmke,bme->bmk", rows, x) + bb))
 
-    gd = jax.grad(lambda e_, b_: loss(e_, b_, ds.decoder_gather),
-                  argnums=(0, 1))(emb, bias)
+    gd = jax.grad(lambda e_, b_: loss(
+        e_, b_, lambda em, bi, i: ds.decoder_gather(em, bi, i, True)),
+        argnums=(0, 1))(emb, bias)
     go = jax.grad(lambda e_, b_: loss(
         e_, b_, lambda em, bi, i: (jnp.take(em, i, axis=0), jnp.take(bi, i))),
         argnums=(0, 1))(emb, bias)

@@ -46,11 +46,8 @@ def test_forward_matches_flat():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-@pytest.mark.parametrize("mode", ["fwd", "both"])
-def test_grad_matches_flat(mode, monkeypatch):
-    import map_tpu.ops.hybrid_gather as hg
-
-    monkeypatch.setattr(hg, "_MODE", mode)
+@pytest.mark.parametrize("mode", ["fwd", "both", "matmul"])
+def test_grad_matches_flat(mode):
     rng = np.random.default_rng(1)
     v, bounds, ids = _geometry(rng)
     table = jnp.asarray(rng.normal(size=(v, E)), jnp.float32)
@@ -60,7 +57,8 @@ def test_grad_matches_flat(mode, monkeypatch):
                       jnp.float32)
 
     def f_hybrid(p):
-        return jnp.sum(hybrid_rows_gather(p, ids_d, bounds, PACK, NRESV) * cot)
+        return jnp.sum(
+            hybrid_rows_gather(p, ids_d, bounds, PACK, NRESV, mode) * cot)
 
     def f_flat(p):
         return jnp.sum(jnp.take(p, ids_d // PACK, axis=0) * cot)
@@ -186,7 +184,7 @@ def test_tpu_kernel_path_grads(monkeypatch):
     import map_tpu.ops.pallas_field_gather as pfg
 
     monkeypatch.setattr(hg, "_on_tpu", lambda: True)
-    monkeypatch.setattr(hg, "_MODE", "bwd_pallas")
+    monkeypatch.setenv("MAP_TPU_HYBRID_MODE", "bwd_pallas")
     monkeypatch.setattr(
         pfg, "field_block_scatter",
         functools.partial(pfg.field_block_scatter, interpret=True))

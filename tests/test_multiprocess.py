@@ -57,28 +57,40 @@ def test_two_process_train_matches_single_process(tmp_path):
     env.pop("JAX_PLATFORMS", None)
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
 
-    def run(nprocs):
-        port = _free_port()
-        procs = [subprocess.Popen(
-            [sys.executable, worker, "train", str(port), str(i), str(nprocs),
-             data_dir],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
-            for i in range(nprocs)]
-        aucs = []
-        for p in procs:
-            try:
-                out, err = p.communicate(timeout=300)
-            except subprocess.TimeoutExpired:
-                for q in procs:
-                    q.kill()
-                pytest.fail(f"{nprocs}-process train worker timed out")
-            assert p.returncode == 0, err[-3000:]
-            line = [ln for ln in out.splitlines() if ln.startswith("TRAIN_OK")]
-            assert line, out[-1000:]
-            aucs.append(float(line[0].split()[1]))
-        return aucs
-
-    auc1 = run(1)[0]
-    aucs2 = run(2)
+    auc1 = _run_train(worker, env, data_dir, 1, "exact")[0][0]
+    res2 = _run_train(worker, env, data_dir, 2, "exact")
+    aucs2 = [a for a, _ in res2]
+    assert all(m == "exact" for _, m in res2)
     assert abs(aucs2[0] - aucs2[1]) < 1e-9  # both processes agree exactly
     assert abs(auc1 - aucs2[0]) < 2e-5, (auc1, aucs2)
+
+    # VERDICT round-2 item 6: with no flags, a multi-process run must
+    # auto-select the streaming-histogram eval (no per-example allgather) and
+    # its AUC must sit within the estimator's certified band of the exact
+    # value (32768 bins on a 200-row eval split: collisions are rare, the
+    # bound is ~0; 5e-4 is a conservative ceiling).
+    res2s = _run_train(worker, env, data_dir, 2, "default")
+    assert all(m == "stream" for _, m in res2s), res2s
+    assert abs(res2s[0][0] - aucs2[0]) < 5e-4, (res2s, aucs2)
+
+
+def _run_train(worker, env, data_dir, nprocs, eval_mode):
+    port = _free_port()
+    procs = [subprocess.Popen(
+        [sys.executable, worker, "train", str(port), str(i), str(nprocs),
+         data_dir, eval_mode],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+        for i in range(nprocs)]
+    results = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(f"{nprocs}-process train worker timed out")
+        assert p.returncode == 0, err[-3000:]
+        line = [ln for ln in out.splitlines() if ln.startswith("TRAIN_OK")]
+        assert line, out[-1000:]
+        results.append((float(line[0].split()[1]), line[0].split()[2]))
+    return results

@@ -11,7 +11,9 @@
 set -e
 cd "$(dirname "$0")"
 DATA=$(pwd)/data/synthazu
+SEED=${SEED:-42}
 RUNS=$(pwd)/runs/reference
+if [ "$SEED" != "42" ]; then RUNS=${RUNS}_s$SEED; fi
 mkdir -p "$RUNS"
 export OMP_NUM_THREADS=${OMP_NUM_THREADS:-2}
 export CUDA_VISIBLE_DEVICES=""
@@ -24,7 +26,8 @@ COMMON="--data_dir=$DATA --dataset_name=synthazu --model_name=DCNv2 \
   --embed_size=16 --hidden_size=1000 --num_hidden_layers=3 \
   --num_cross_layers=3 --hidden_dropout_rate=0.0 \
   --per_gpu_train_batch_size=4096 --per_gpu_eval_batch_size=4096 \
-  --learning_rate=1e-3 --adam_epsilon=1e-8 --max_grad_norm=0 --no_cuda=True"
+  --learning_rate=1e-3 --adam_epsilon=1e-8 --max_grad_norm=0 --no_cuda=True \
+  --seed=$SEED"
 
 stage=${1:-all}
 

@@ -7,7 +7,9 @@
 set -e
 cd "$(dirname "$0")"
 DATA=$(pwd)/data/synthazu
+SEED=${SEED:-42}
 RUNS=$(pwd)/runs/tpu${TAG:+_$TAG}
+if [ "$SEED" != "42" ]; then RUNS=${RUNS}_s$SEED; fi
 mkdir -p "$RUNS"
 export PYTHONPATH=/root/repo:/root/.axon_site
 
@@ -15,7 +17,8 @@ COMMON="--data_dir=$DATA --dataset_name=synthazu --model_name=dcnv2 \
   --embed_size=16 --hidden_size=1000 --num_hidden_layers=3 \
   --num_cross_layers=3 --hidden_dropout_rate=0.0 \
   --per_device_train_batch_size=4096 --per_device_eval_batch_size=4096 \
-  --learning_rate=1e-3 --adam_epsilon=1e-8 --max_grad_norm=0 ${EXTRA:-}"
+  --learning_rate=1e-3 --adam_epsilon=1e-8 --max_grad_norm=0 --seed=$SEED \
+  ${EXTRA:-}"
 
 stage=${1:-all}
 
