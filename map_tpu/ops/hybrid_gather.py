@@ -58,12 +58,16 @@ SMALL_FIELD_MAX = 16384
 # Backward-mode selection. Measured on v5e at the canonical config (bench.py,
 # 2026-08-21, round 2 unless noted):
 #   flat both directions             3.99 ms/step
-#   hybrid fwd + flat bwd ("fwd")    3.19 ms/step
-#   hybrid fwd + matmul bwd          (round 3, measured in PERFORMANCE.md):
-#                                    small-field gradients as per-field
-#                                    one-hot MXU matmuls (no per-op scatter
-#                                    fixed cost), flat scatter only for the
-#                                    ~B*n_big big-field rows
+#   hybrid fwd + flat bwd ("fwd")    3.19 ms/step   <- default
+#                                    (round-3 re-measure with 3x300-step
+#                                    median windows: 3.04 ms, 1.348M ex/s)
+#   hybrid fwd + matmul bwd          3.12 ms (round 3): small-field
+#                                    gradients as per-field one-hot MXU
+#                                    matmuls + big-field-only flat scatter.
+#                                    LOSES ~0.08 ms to "fwd" — the HIGHEST-
+#                                    precision one-hot matmuls + the concat
+#                                    assembly cost more than the flat
+#                                    scatter's 86k extra rows. Kept opt-in.
 #   hybrid fwd + multi-op XLA bwd    5.44 ms/step   (19 per-field scatters
 #                                    each pay a large fixed cost)
 #   hybrid fwd + Pallas tile bwd     5.38 ms/step   ("bwd_pallas"; the
@@ -73,10 +77,10 @@ SMALL_FIELD_MAX = 16384
 #                                    round 1's scatter kernels)
 # The mode is a per-call static argument (threaded from config through
 # Embeddings); mode=None reads MAP_TPU_HYBRID_MODE at trace time (bench A/B
-# knob), defaulting to "matmul".
+# knob), defaulting to "fwd".
 import os as _os
 
-_DEFAULT_MODE = "matmul"
+_DEFAULT_MODE = "fwd"
 
 
 def _resolve_mode(mode):

@@ -50,10 +50,17 @@ def train_main() -> int:
 
     argv[6] (optional): 'exact' forces the allgather eval (the equality
     contract vs single-process); 'default' leaves flags alone, which under
-    process_count > 1 must auto-select the streaming-histogram eval."""
+    process_count > 1 must auto-select the streaming-histogram eval.
+    argv[7] (optional): objective — 'sup' (default) or 'mfp'. 'mfp' runs the
+    MFP pretrain loop on a ('data','model') = 2x2 mesh with ROW-SHARDED
+    input + decoder tables, so a 2-process run exercises the shard_map
+    masked-gather/psum exchange ACROSS a process boundary (VERDICT round-2
+    item 7; the reference's vestigial counterpart is
+    /root/reference/code/arguments.py:58-86)."""
     port, pid, nprocs, data_dir = (sys.argv[2], sys.argv[3], sys.argv[4],
                                    sys.argv[5])
     eval_mode = sys.argv[6] if len(sys.argv) > 6 else "exact"
+    objective = sys.argv[7] if len(sys.argv) > 7 else "sup"
     port, pid, nprocs = int(port), int(pid), int(nprocs)
     devs_per_proc = 4 // nprocs
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
@@ -69,20 +76,30 @@ def train_main() -> int:
     from map_tpu.data.dataset import CTRDataset
     from map_tpu.train.trainer import Trainer
 
-    out = os.path.join(data_dir, f"out_{nprocs}p")
+    out = os.path.join(data_dir, f"out_{objective}_{nprocs}p")
+    extra = {}
+    if objective == "mfp":
+        extra = dict(pretrain=True, pt_type="MFP", sampling_method="randint",
+                     mask_ratio=0.3, num_model_shards=2)
     args = TrainingArguments(
         output_dir=out, data_dir=data_dir, dataset_name="synth",
         per_device_train_batch_size=32, per_device_eval_batch_size=64,
         learning_rate=1e-3, weight_decay=0.1, lr_sched="const",
         warmup_ratio=0.0, max_grad_norm=0.0, num_train_epochs=1,
         logging_steps=1000, seed=42, steps_per_call=4,
-        exact_eval_allgather=(eval_mode == "exact"))
+        exact_eval_allgather=(eval_mode == "exact"), **extra)
     margs = ModelArguments(model_name="dnn", embed_size=8, hidden_size=32,
-                           num_hidden_layers=2, hidden_dropout_rate=0.0)
+                           num_hidden_layers=2, hidden_dropout_rate=0.0,
+                           pt_neg_num=5, proj_size=8)
     ds = CTRDataset(args)
     config = build_config(margs, args, ds)
     model = models.from_config(config)
     trainer = Trainer(model, config, args, ds)
+    if objective == "mfp":
+        trainer.MFP_pretrain()
+        loss, acc = trainer.eval_metrics[-1]
+        print(f"TRAIN_OK {loss:.10f} mfp {acc:.10f}", flush=True)
+        return 0
     trainer.train()
     auc = trainer.eval_metrics[-1][0]
     used = "stream" if trainer._streaming_bins > 0 else "exact"
