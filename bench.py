@@ -39,11 +39,22 @@ def main() -> None:
     from map_tpu.train.optimizer import build_optimizer
 
     batch_size = 4096
-    # 5-core-Avazu-shaped field cardinalities (24 fields, ~1M ids total):
-    # 3 huge ID fields (device_ip/device_id-class) + a small-field tail
-    field_sizes = [7, 7, 24, 26, 4100, 7600, 26, 8500, 560, 36, 8200, 5, 4,
-                   2600, 8, 450, 70, 170, 60, 101_000, 380_000, 500_000,
-                   30, 26]
+    if "--criteo" in sys.argv:
+        # 10-core-Criteo-shaped cardinalities (39 fields, ~1M ids): 13
+        # numeric fields bucketed by floor(log(v)^2) (tens of ids each,
+        # reference proc_criteo.py:24-39) + 26 categoricals with a heavy
+        # tail — more mid-size (1k-50k) fields than Avazu, which is what
+        # stresses the SMALL_FIELD_MAX routing threshold
+        field_sizes = [45, 50, 60, 40, 35, 80, 55, 100, 65, 30, 90, 70, 50,
+                       1400, 550, 180_000, 110_000, 300, 20, 12_000, 600, 3,
+                       48_000, 5200, 150_000, 3100, 26, 10_000, 90_000, 10,
+                       4300, 2000, 4, 120_000, 15, 15, 45_000, 70, 35_000]
+    else:
+        # 5-core-Avazu-shaped field cardinalities (24 fields, ~1M ids total):
+        # 3 huge ID fields (device_ip/device_id-class) + a small-field tail
+        field_sizes = [7, 7, 24, 26, 4100, 7600, 26, 8500, 560, 36, 8200, 5,
+                       4, 2600, 8, 450, 70, 170, 60, 101_000, 380_000,
+                       500_000, 30, 26]
     num_fields = len(field_sizes)
     idx_low, lo = [], 10  # ids 0..9 reserved (dataset invariant)
     for s in field_sizes:

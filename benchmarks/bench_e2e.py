@@ -12,7 +12,7 @@ import time
 import numpy as np
 
 
-def main(steps_per_call=8, rows=1_500_000, batch=4096):
+def main(steps_per_call=8, rows=3_000_000, batch=4096):
     import jax
 
     import map_tpu.models as models
@@ -23,8 +23,21 @@ def main(steps_per_call=8, rows=1_500_000, batch=4096):
     logging.basicConfig(level=logging.INFO)
 
     rng = np.random.default_rng(0)
-    f, v = 24, 1_000_000
-    x_all = rng.integers(10, v, (rows, f), dtype=np.int32)
+    # bench.py's field-blocked Avazu-like geometry so the production path
+    # (packed tables + hybrid lookup + fused table AdamW) is what's measured
+    field_sizes = [7, 7, 24, 26, 4100, 7600, 26, 8500, 560, 36, 8200, 5,
+                   4, 2600, 8, 450, 70, 170, 60, 101_000, 380_000,
+                   500_000, 30, 26]
+    f = len(field_sizes)
+    idx_low, lo = [], 10
+    for s in field_sizes:
+        idx_low.append(lo)
+        lo += s
+    idx_high = idx_low[1:] + [lo]
+    v = lo
+    x_all = np.empty((rows, f), dtype=np.int32)
+    for j, (a, h) in enumerate(zip(idx_low, idx_high)):
+        x_all[:, j] = rng.integers(a, h, rows, dtype=np.int32)
     y_all = rng.integers(0, 2, rows).astype(np.float32)
 
     from types import SimpleNamespace
@@ -32,14 +45,16 @@ def main(steps_per_call=8, rows=1_500_000, batch=4096):
     ds = SimpleNamespace(
         X={"train": x_all, "valid": x_all[:10000], "test": x_all[:10000]},
         Y={"train": y_all, "valid": y_all[:10000], "test": y_all[:10000]},
-        feat_count=None, idx_low=None, idx_high=None, feat_num_per_field=None)
+        feat_count=None, idx_low=np.asarray(idx_low, np.int32),
+        idx_high=np.asarray(idx_high, np.int32), feat_num_per_field=None)
     ds.split_sizes = lambda: {k: len(v_) for k, v_ in ds.Y.items()}
 
     cfg = Config(model_name="dcnv2", input_size=v, num_fields=f, embed_size=16,
                  hidden_size=1000, num_hidden_layers=3, hidden_act="relu",
                  hidden_dropout_rate=0.0, num_cross_layers=3, pretrain=False,
                  embed_norm=False, layer_norm_eps=1e-12, embed_dropout_rate=0.0,
-                 use_pallas=True)
+                 use_pallas=True, packed_tables=True, fused_table_update=True,
+                 field_blocked_lookup=True, idx_low=idx_low, idx_high=idx_high)
     args = TrainingArguments(
         output_dir="/tmp/bench_e2e", learning_rate=1e-3, weight_decay=0.1,
         lr_sched="const", warmup_ratio=0.0, max_grad_norm=0.0,
@@ -63,7 +78,7 @@ def main(steps_per_call=8, rows=1_500_000, batch=4096):
     for n, dev, _ in stream:
         m = trainer._run_train_step(n, dev)
         steps += n
-        if steps >= 256:
+        if steps >= 512:
             break
     # barrier
     float(np.asarray(jax.tree.leaves(m)[0]).ravel()[0])

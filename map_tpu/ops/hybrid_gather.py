@@ -52,8 +52,13 @@ import jax.numpy as jnp
 # canonical config (B=4096, W=128) the crossover between block-resident
 # access and the flat per-row price sits well above this (measured,
 # benchmarks/bench_hybrid_probe.py); beyond it the block slices stop fitting
-# in fast memory and the flat path wins.
-SMALL_FIELD_MAX = 16384
+# in fast memory and the flat path wins. Held at 16384 on BOTH bench
+# geometries (Avazu-like 24-field and Criteo-like 39-field mixes — the
+# round-3 sweep in PERFORMANCE.md); the env override exists for re-sweeping
+# on new hardware or geometries.
+import os as _os
+
+SMALL_FIELD_MAX = int(_os.environ.get("MAP_TPU_SMALL_FIELD_MAX", "16384"))
 
 # Backward-mode selection. Measured on v5e at the canonical config (bench.py,
 # 2026-08-21, round 2 unless noted):
@@ -78,8 +83,6 @@ SMALL_FIELD_MAX = 16384
 # The mode is a per-call static argument (threaded from config through
 # Embeddings); mode=None reads MAP_TPU_HYBRID_MODE at trace time (bench A/B
 # knob), defaulting to "fwd".
-import os as _os
-
 _DEFAULT_MODE = "fwd"
 
 
