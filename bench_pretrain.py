@@ -170,7 +170,7 @@ def bench_rfd():
     idx_low, idx_high, v = geometry()
     rng = np.random.default_rng(0)
     cfg = base_config(v, len(FIELD_SIZES), idx_low, idx_high,
-                      pretrain=True, pt_type="RFD",
+                      pretrain=True, pt_type="RFD", proj_size=32,
                       # Unigram replacement keeps ids inside their field
                       # blocks (values come from other training rows), so
                       # the hybrid lookup stays on — run.py's gate only
@@ -185,9 +185,11 @@ def bench_rfd():
     tx, _ = build_optimizer(args, 10_000, 0)
     np_batch = field_blocked_batch(rng, b, idx_low, idx_high)
     # RFD-Unigram replacement rows ride the input pipeline (a second shuffled
-    # view of the train matrix); the bench models it with a random batch
+    # view of the train matrix, one row per masked position); the bench
+    # models them with random field-blocked rows
+    mask_num = int(len(FIELD_SIZES) * 0.3)
     np_batch["noise_rows"] = field_blocked_batch(
-        rng, b, idx_low, idx_high)["input_ids"]
+        rng, b * mask_num, idx_low, idx_high)["input_ids"]
     batch = jax.device_put(np_batch)
     state = ts.create_train_state(model, cfg, args, tx,
                                   jax.random.PRNGKey(0), batch)

@@ -143,12 +143,14 @@ class IndexLinearDecoder(nn.Module):
             # scale, bit-exact) on the unpacked storage path
             use_pallas_scatter = nce_grad == "dedup_pallas"
             if self.packed:
-                rows, b = dedup_scatter.decoder_gather_packed(
-                    self.emb, self.bias, indices, self.proj_size,
+                # score-fused: the einsum lives inside the custom VJP so the
+                # backward builds the sorted gradient stream directly (no
+                # big-source 32-wide permute — dedup_scatter._dsp_bwd)
+                return dedup_scatter.decoder_score_packed(
+                    self.emb, self.bias, inputs, indices, self.proj_size,
                     self.input_size)
-            else:
-                rows, b = dedup_scatter.decoder_gather(
-                    self.emb, self.bias, indices, use_pallas_scatter)
+            rows, b = dedup_scatter.decoder_gather(
+                self.emb, self.bias, indices, use_pallas_scatter)
         else:
             rows, b = self._lookup_rows(indices)
         return jnp.einsum("bme,bmce->bmc", inputs, rows) + b

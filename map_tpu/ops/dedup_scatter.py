@@ -409,7 +409,10 @@ def _dgp_fwd(emb_packed, bias_packed, ids, embed_size, vocab):
     return (rows, b), res
 
 
-def _dgp_bwd(embed_size, vocab, res, gout):
+def _dgp_scatter_sorted(embed_size, vocab, res, gr_s, gb_s):
+    """Fold the SORTED gradient streams (gr_s (n, E), gb_s (n, 1)) and
+    scatter into packed (emb, bias) gradients — the shared back half of
+    _dgp_bwd and _dsp_bwd."""
     from map_tpu.ops.packed_table import expand_to_packed, pack_factor
     from map_tpu.parallel.context import table_mesh
 
@@ -425,16 +428,10 @@ def _dgp_bwd(embed_size, vocab, res, gout):
         num = mesh.shape[MODEL_AXIS]
         if emb_shape[0] % num or bias_shape[0] % num:
             mesh = None  # mirror the forward's divisibility guard
-    g_rows, g_b = gout
-    gr = g_rows.reshape(-1, e).astype(jnp.float32)
-    gb = g_b.reshape(-1).astype(jnp.float32)
-    n = gr.shape[0]
+    n = gr_s.shape[0]
     capacity = start_pos.shape[0]
     tiers = tuple(sorted({min(c, n) for c in DECODER_TIERS}))
     assert tiers[-1] == capacity
-
-    gr_s = jnp.take(gr, order, axis=0)
-    gb_s = jnp.take(gb, order)[:, None]
 
     def _scatter_rows(shape, phys_idx, wide, sorted_ids):
         if mesh is not None:
@@ -466,8 +463,81 @@ def _dgp_bwd(embed_size, vocab, res, gout):
     def fallback(_):
         return _scatter_at(sids, gr_s, gb_s, True)
 
-    d_emb, d_bias = _pick_tier(tiers, num_unique, folded_tier, fallback, n)
+    return _pick_tier(tiers, num_unique, folded_tier, fallback, n)
+
+
+def _dgp_bwd(embed_size, vocab, res, gout):
+    g_rows, g_b = gout
+    e = embed_size
+    order = res[4]
+    gr = g_rows.reshape(-1, e).astype(jnp.float32)
+    gb = g_b.reshape(-1).astype(jnp.float32)
+    gr_s = jnp.take(gr, order, axis=0)
+    gb_s = jnp.take(gb, order)[:, None]
+    d_emb, d_bias = _dgp_scatter_sorted(embed_size, vocab, res, gr_s, gb_s)
     return d_emb, d_bias, None
 
 
 decoder_gather_packed.defvjp(_dgp_fwd, _dgp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Score-fused variant: the candidate-scoring einsum moves INSIDE the custom
+# VJP, so the backward never materializes or permutes the (n, E) row-gradient
+# stream in original order. The sorted stream is built directly:
+#   gr_s[t] = h[pos_sorted[t]] * d_score_sorted[t]
+# with d_score_sorted a 1-wide permute and the h gather a 32-wide take from
+# the SMALL (B*M, E) per-position source — replacing _dgp_bwd's 32-wide
+# permute against the (n, E) big source plus the separate 1-wide bias
+# permute (and the einsum-VJP materialization of d_rows). Bitwise identical
+# values: the same products are formed, computed after the permutation
+# instead of before it.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def decoder_score_packed(emb_packed: jnp.ndarray, bias_packed: jnp.ndarray,
+                         inputs: jnp.ndarray, ids: jnp.ndarray,
+                         embed_size: int, vocab: int) -> jnp.ndarray:
+    """Candidate logits for the NCE decoder on packed storage:
+    inputs (B, M, E), ids (B, M, C) -> logits (B, M, C) =
+    <inputs, emb[ids]> + bias[ids] (reference index_linear.py:86-106)."""
+    from map_tpu.ops.packed_table import packed_lookup
+
+    rows = packed_lookup(emb_packed, ids, embed_size)
+    b = packed_lookup(bias_packed, ids, 1)[..., 0]
+    return jnp.einsum("bme,bmce->bmc", inputs, rows) + b
+
+
+def _dsp_fwd(emb_packed, bias_packed, inputs, ids, embed_size, vocab):
+    (rows, b), res = _dgp_fwd(emb_packed, bias_packed, ids, embed_size, vocab)
+    logits = jnp.einsum("bme,bmce->bmc", inputs, rows) + b
+    return logits, (res, rows, inputs)
+
+
+def _dsp_bwd(embed_size, vocab, resid, g):
+    from map_tpu.ops.packed_table import select_sub_block
+
+    res, rows, inputs = resid
+    order = res[4]
+    c = g.shape[-1]
+    d_h = jnp.einsum("bmc,bmce->bme", g, rows)
+    pos_sorted = order // c                                # elementwise
+    slot_sorted = order % c
+    # d_score in sorted order: a 1-wide permute is per-row priced the same
+    # as a wide one (~7.9 ms at 745k, bench_mfp_parts), so instead gather
+    # the position's whole C-lane score row from the SMALL (B*M, C) source
+    # (~4 ms) and lane-select the candidate's entry (VPU select-sum with the
+    # barrier, packed_table.select_sub_block)
+    g2 = g.reshape(-1, c).astype(jnp.float32)              # (B*M, C) small
+    g_rows_sorted = jnp.take(g2, pos_sorted, axis=0)       # (n, C)
+    d_score_sorted = select_sub_block(g_rows_sorted, slot_sorted, 1)[:, 0]
+    h2 = inputs.reshape(-1, inputs.shape[-1]).astype(jnp.float32)
+    h_sorted = jnp.take(h2, pos_sorted, axis=0)            # small-source take
+    gr_s = h_sorted * d_score_sorted[:, None]
+    gb_s = d_score_sorted[:, None]
+    d_emb, d_bias = _dgp_scatter_sorted(embed_size, vocab, res, gr_s, gb_s)
+    return d_emb, d_bias, d_h, None
+
+
+decoder_score_packed.defvjp(_dsp_fwd, _dsp_bwd)

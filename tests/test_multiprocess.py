@@ -70,7 +70,7 @@ def test_two_process_train_matches_single_process(tmp_path):
     # value (32768 bins on a 200-row eval split: collisions are rare, the
     # bound is ~0; 5e-4 is a conservative ceiling).
     res2s = _run_train(worker, env, data_dir, 2, "default")
-    assert all(m == "stream" for _, m in res2s), res2s
+    assert all(m == "stream" for _, m, _ in res2s), res2s
     assert abs(res2s[0][0] - aucs2[0]) < 5e-4, (res2s, aucs2)
 
 
