@@ -9,11 +9,17 @@ under validation/runs/ and SKIP when absent (they are produced by
 validation/run_reference.sh + run_tpu.sh, ~30 min total); CI-fast structural
 equivalents live in test_train_e2e.py.
 
-Tolerances: the two frameworks share data but not RNG streams (init order,
-shuffle, corruption draws differ by design), so run-to-run AUC noise at a
-40k-example eval is ~1e-3; the band below (4e-3 AUC / logloss) detects real
-objective/optimizer/lr-schedule divergences while tolerating seed noise.
-Reference-side absolute pins guard against silent dataset drift.
+Tolerances are set from the MEASURED multi-seed noise band (seeds 42-45,
+validation/run_seed_sweep.sh, aggregated by validation/seed_stats.py): the
+two frameworks share data but not RNG streams (init order, shuffle,
+corruption draws differ by design), and the single-run cross-framework diff
+std is sqrt(s_ref^2 + s_tpu^2) per stage — AUC ~1.4e-3 (so the 4e-3 bound
+is ~3 sigma, ratified rather than loose), MFP acc ~4.6e-3, RFD acc ~2.4e-3.
+Each bound below is ~3 sigma of that measured band. The statistically tight
+certification (delta of MEANS inside 2 standard errors + the 5e-4 parity
+budget) lives in test_multiseed_parity.py; these single-seed tests are the
+per-run drift alarm. Reference-side absolute pins guard against silent
+dataset drift.
 """
 
 import os
@@ -74,8 +80,8 @@ def test_mfp_pretrain_parity():
     got = _metrics("mfp", _tpu_dir())
     if "eval_mfp_acc" not in got:
         pytest.skip("map_tpu mfp not finished")
-    assert abs(got["eval_mfp_acc"][-1] - ref["eval_mfp_acc"][-1]) < 2e-2
-    assert abs(got["eval_mfp_loss"][-1] - ref["eval_mfp_loss"][-1]) < 1e-1
+    assert abs(got["eval_mfp_acc"][-1] - ref["eval_mfp_acc"][-1]) < 1.5e-2
+    assert abs(got["eval_mfp_loss"][-1] - ref["eval_mfp_loss"][-1]) < 3.5e-2
 
 
 def test_rfd_pretrain_parity():
@@ -83,8 +89,8 @@ def test_rfd_pretrain_parity():
     got = _metrics("rfd", _tpu_dir())
     if "eval_rfd_acc" not in got:
         pytest.skip("map_tpu rfd not finished")
-    assert abs(got["eval_rfd_acc"][-1] - ref["eval_rfd_acc"][-1]) < 2e-2
-    assert abs(got["eval_rfd_loss"][-1] - ref["eval_rfd_loss"][-1]) < 1e-1
+    assert abs(got["eval_rfd_acc"][-1] - ref["eval_rfd_acc"][-1]) < 8e-3
+    assert abs(got["eval_rfd_loss"][-1] - ref["eval_rfd_loss"][-1]) < 2e-2
 
 
 def test_reference_absolute_pins():
