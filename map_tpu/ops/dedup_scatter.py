@@ -516,22 +516,18 @@ def _dsp_fwd(emb_packed, bias_packed, inputs, ids, embed_size, vocab):
 
 
 def _dsp_bwd(embed_size, vocab, resid, g):
-    from map_tpu.ops.packed_table import select_sub_block
-
     res, rows, inputs = resid
     order = res[4]
     c = g.shape[-1]
     d_h = jnp.einsum("bmc,bmce->bme", g, rows)
     pos_sorted = order // c                                # elementwise
-    slot_sorted = order % c
-    # d_score in sorted order: a 1-wide permute is per-row priced the same
-    # as a wide one (~7.9 ms at 745k, bench_mfp_parts), so instead gather
-    # the position's whole C-lane score row from the SMALL (B*M, C) source
-    # (~4 ms) and lane-select the candidate's entry (VPU select-sum with the
-    # barrier, packed_table.select_sub_block)
-    g2 = g.reshape(-1, c).astype(jnp.float32)              # (B*M, C) small
-    g_rows_sorted = jnp.take(g2, pos_sorted, axis=0)       # (n, C)
-    d_score_sorted = select_sub_block(g_rows_sorted, slot_sorted, 1)[:, 0]
+    # d_score in sorted order: plain 1-wide permute. (A C-lane row gather
+    # from the small (B*M, C) source + VPU lane-select was tried — the
+    # standalone parts numbers favored it, but in-step it REGRESSED
+    # 47.2 -> 58.5 ms: the (n, 26) gather output lane-pads to 128, so the
+    # barrier materializes a 381 MB intermediate. 26 lanes only looks small.)
+    gflat = g.reshape(-1).astype(jnp.float32)
+    d_score_sorted = jnp.take(gflat, order)
     h2 = inputs.reshape(-1, inputs.shape[-1]).astype(jnp.float32)
     h_sorted = jnp.take(h2, pos_sorted, axis=0)            # small-source take
     gr_s = h_sorted * d_score_sorted[:, None]
