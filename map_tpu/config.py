@@ -100,6 +100,13 @@ class TrainingArguments:
     # error O(1/auc_bins); default off = exact sklearn-parity host AUC.
     streaming_auc: bool = False
     auc_bins: int = 32768
+    # Device-resident train data: upload the (N, F) id matrix to HBM once
+    # and ship only shuffled indices per step; rows gather on device inside
+    # the jitted step. auto = on for single-process runs fitting the budget
+    # (off multi-host: every process would replicate the matrix); on|off
+    # force it. Decisive on low-bandwidth/high-latency host links.
+    device_resident_data: str = "auto"
+    device_data_budget_gb: float = 8.0
     # Multi-host (process_count > 1) evals default to streaming AUC so no
     # host ever materializes the global per-example arrays; this flag forces
     # the exact allgather path back on (small eval splits only).

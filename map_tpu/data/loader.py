@@ -54,6 +54,14 @@ class Batcher:
         self.process_index = int(process_index)
         self.process_count = int(process_count)
         self._epoch = 0
+        # Device-resident-data mode (trainer sets this after deciding
+        # residency): emit row INDICES instead of gathered id rows — the
+        # jitted step gathers rows from the HBM-resident train matrix, so
+        # the per-step host->device transfer shrinks from the (B, F) id
+        # block (+ (B*M, F) RFD noise rows) to a few KB of indices. The rng
+        # stream (shuffle order, noise draws) is consumed identically, so
+        # resume fast-forward and 1-vs-N-process equality are unaffected.
+        self.emit_indices = False
 
     @property
     def local_batch_size(self) -> int:
@@ -112,11 +120,14 @@ class Batcher:
             # this process's contiguous block of the global batch
             lidx = idx[lo:lo + lbs]
             batch = {
-                "input_ids": native.gather_rows_i32(x, lidx),
                 "labels": native.gather_f32(y, lidx),
                 "weight": ((np.arange(bs) < real)[lo:lo + lbs]
                            ).astype(np.float32),
             }
+            if self.emit_indices:
+                batch["index"] = lidx.astype(np.int32)
+            else:
+                batch["input_ids"] = native.gather_rows_i32(x, lidx)
             if self.noise_rows_per_example > 0:
                 assert self.noise_source is not None
                 k = bs * self.noise_rows_per_example
@@ -124,11 +135,15 @@ class Batcher:
                 # runs; each process gathers only its rows
                 sample_index = rng.integers(0, len(self.noise_source), size=k)
                 nl = lbs * self.noise_rows_per_example
-                batch["noise_rows"] = native.gather_rows_i32(
-                    np.ascontiguousarray(self.noise_source, dtype=np.int32)
-                    if self.noise_source.dtype != np.int32 or
-                    not self.noise_source.flags.c_contiguous
-                    else self.noise_source,
-                    sample_index[lo * self.noise_rows_per_example:
-                                 lo * self.noise_rows_per_example + nl])
+                nslice = sample_index[lo * self.noise_rows_per_example:
+                                      lo * self.noise_rows_per_example + nl]
+                if self.emit_indices:
+                    batch["noise_index"] = nslice.astype(np.int32)
+                else:
+                    batch["noise_rows"] = native.gather_rows_i32(
+                        np.ascontiguousarray(self.noise_source, dtype=np.int32)
+                        if self.noise_source.dtype != np.int32 or
+                        not self.noise_source.flags.c_contiguous
+                        else self.noise_source,
+                        nslice)
             yield batch

@@ -43,7 +43,13 @@ def cross_net_pallas(x0: jnp.ndarray, kernels: List[jnp.ndarray],
                      biases: List[jnp.ndarray],
                      interpret: bool = False) -> jnp.ndarray:
     d = x0.shape[-1]
-    if (not _on_tpu() and not interpret) or d < 128 or x0.shape[0] < 8:
+    # d must be a 128-lane multiple: Mosaic rejects ragged tiles for this
+    # kernel's (D, D) blocks (observed as a remote-compile crash at
+    # D = 39 fields x 16 = 624, Criteo geometry). The kernel is
+    # perf-neutral vs XLA at the canonical size anyway (PERFORMANCE.md
+    # round-1 finding 2), so the fallback costs nothing.
+    if (not _on_tpu() and not interpret) or d < 128 or d % 128 \
+            or x0.shape[0] < 8:
         return cross_net_xla(x0, kernels, biases)
     global _INTERPRET
     _INTERPRET = interpret

@@ -50,6 +50,46 @@ def make_multi_step(step_fn, num_steps: int):
     return jax.jit(multi, donate_argnums=(0,))
 
 
+def _resident_batch(batch, data):
+    """Rebuild the full step batch from an index batch + the HBM-resident
+    train matrix: `input_ids = x[index]` (and RFD `noise_rows =
+    x[noise_index]`) gathered ON DEVICE. The per-step host->device transfer
+    drops from the (B, F) id block (~400 KB, + ~2.7 MB RFD noise rows at the
+    canonical config) to a few KB of indices — decisive on high-latency /
+    low-bandwidth links like the axon tunnel, where the id-block transfer
+    gated the e2e trainer at ~46% of the device step (PERFORMANCE.md
+    round 3)."""
+    full = {k: v for k, v in batch.items()
+            if k not in ("index", "noise_index")}
+    full["input_ids"] = jnp.take(data["x"], batch["index"], axis=0)
+    if "noise_index" in batch:
+        full["noise_rows"] = jnp.take(data["x"], batch["noise_index"], axis=0)
+    return full
+
+
+def make_resident_step(step_fn):
+    """(state, index_batch, data) version of a train step; `data` holds the
+    device-resident train matrix {"x": (N, F) int32} and is NOT donated."""
+
+    def step(state, batch, data):
+        return step_fn(state, _resident_batch(batch, data))
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_resident_multi_step(step_fn, num_steps: int):
+    """Resident-data twin of make_multi_step (scan over stacked index
+    batches)."""
+
+    def multi(state, stacked_batch, data):
+        def body(s, b):
+            return step_fn(s, _resident_batch(b, data))
+
+        return jax.lax.scan(body, state, stacked_batch)
+
+    return jax.jit(multi, donate_argnums=(0,))
+
+
 def make_multi_eval(eval_fn, has_rng: bool = False):
     """Fuse a stack of eval batches into ONE device dispatch via lax.scan
     (the eval twin of make_multi_step; reference evals dispatch per batch,

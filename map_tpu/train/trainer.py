@@ -180,6 +180,7 @@ class Trainer:
         self._steps_per_call = max(1, getattr(self.args, "steps_per_call", 1))
         self._multi_step = (ts.make_multi_step(self._train_step, self._steps_per_call)
                             if self._steps_per_call > 1 else None)
+        self._setup_resident_data()
         self._eval_has_rng = bool(getattr(self.config, "pretrain", False))
         # Multi-host supervised eval returns per-example arrays that must be
         # process-allgathered per batch; keep those dispatches unstacked.
@@ -192,6 +193,45 @@ class Trainer:
                             if stack_eval else None)
         self._t_total, self._t_warmup = t_total, t_warmup
         self._maybe_resume()
+
+    def _setup_resident_data(self) -> None:
+        """Device-resident train data: upload the train id matrix to HBM once
+        and ship only shuffled indices per step (train_step._resident_batch).
+        'auto' turns it on for single-process runs whose train matrix fits
+        the budget (v5e HBM is 16 GB; the canonical Avazu matrix is ~3.1 GB,
+        Criteo-x4 ~5.7 GB). Multi-host runs keep the host pipeline in auto
+        mode (each process would replicate the full matrix onto its
+        devices); force with device_resident_data=on."""
+        self._data_ref = None
+        self._resident_step = None
+        self._resident_multi = None
+        mode = str(getattr(self.args, "device_resident_data", "auto"))
+        if mode == "off" or (mode == "auto" and jax.process_count() > 1):
+            return
+        x = self.dataset.X["train"]
+        budget = float(getattr(self.args, "device_data_budget_gb", 8.0)) * 1e9
+        if mode == "auto" and x.nbytes > budget:
+            logger.info(
+                f"device-resident data: off (train matrix {x.nbytes/1e9:.1f} "
+                f"GB > budget {budget/1e9:.1f} GB)")
+            return
+        if x.dtype != np.int32:
+            x = x.astype(np.int32)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(self.mesh, P())  # replicated
+            xdev = jax.device_put(x, sharding)
+        else:
+            xdev = jax.device_put(x)
+        self._data_ref = {"x": xdev}
+        self._resident_step = ts.make_resident_step(self._train_step)
+        if self._steps_per_call > 1:
+            self._resident_multi = ts.make_resident_multi_step(
+                self._train_step, self._steps_per_call)
+        logger.info(f"device-resident data: on "
+                    f"({x.nbytes/1e9:.2f} GB train matrix in HBM; "
+                    f"per-step transfer = indices only)")
 
     # ------------------------------------------------------------------
     # input streaming: async host->device prefetch + multi-step stacking
@@ -314,7 +354,14 @@ class Trainer:
         return jax.tree_util.tree_map(leaf, tree)
 
     def _run_train_step(self, n, dev_batch):
-        if n > 1:
+        if self._data_ref is not None:
+            if n > 1:
+                self.state, metrics = self._resident_multi(
+                    self.state, dev_batch, self._data_ref)
+            else:
+                self.state, metrics = self._resident_step(
+                    self.state, dev_batch, self._data_ref)
+        elif n > 1:
             self.state, metrics = self._multi_step(self.state, dev_batch)
         else:
             self.state, metrics = self._train_step(self.state, dev_batch)
@@ -392,6 +439,10 @@ class Trainer:
         """Yield (epoch, batch_iter); on resume, fast-forwards past consumed
         epochs/batches (the shuffled order is seeded per epoch, so skipping
         reproduces the exact stream)."""
+        # train batchers emit index batches when the train matrix is
+        # device-resident (_setup_resident_data); eval batchers never route
+        # through here and keep the host-gather pipeline
+        batcher.emit_indices = self._data_ref is not None
         per_epoch = len(batcher)
         start_epoch = self.global_step // per_epoch
         skip = self.global_step % per_epoch

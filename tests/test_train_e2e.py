@@ -78,3 +78,43 @@ def test_rfd_pretrain(tmp_path, synth_dir):
     log = open(tmp_path / "train.log").read()
     accs = [float(x) for x in re.findall(r"'eval_rfd_acc': ([\d.]+)", log)]
     assert accs and accs[-1] > 0.6
+
+
+def test_device_resident_data_matches_host_pipeline(tmp_path, synth_dir):
+    """Device-resident train data (ship indices, gather rows in-step) must
+    reproduce the host-gather pipeline exactly: same eval AUCs, same final
+    test metrics. The rng stream (shuffle order, RFD noise draws) is
+    consumed identically by construction (loader.py emit_indices)."""
+    logs = {}
+    for mode in ("on", "off"):
+        out = tmp_path / f"res_{mode}"
+        rc = main(_common(out, synth_dir, [
+            "--learning_rate", "1e-2", "--num_train_epochs", "1",
+            "--lr_sched", "const", "--weight_decay", "0.1",
+            "--device_resident_data", mode]))
+        assert rc == 0
+        logs[mode] = open(out / "train.log").read()
+    for key in ("eval_auc", "eval_loss"):
+        a = re.findall(rf"'{key}': ([\d.eE+-]+)", logs["on"])
+        b = re.findall(rf"'{key}': ([\d.eE+-]+)", logs["off"])
+        assert a and a == b, (key, a, b)
+
+
+def test_device_resident_rfd_unigram_matches(tmp_path, synth_dir):
+    """RFD-Unigram routes its noise ROWS through the resident matrix too
+    (noise_index side-channel) — stream equality with the host pipeline."""
+    logs = {}
+    for mode in ("on", "off"):
+        out = tmp_path / f"rfd_{mode}"
+        rc = main(_common(out, synth_dir, [
+            "--pretrain", "--pt_type", "RFD", "--RFD_replace", "Unigram",
+            "--sampling_method", "randint", "--mask_ratio", "0.3",
+            "--learning_rate", "1e-3", "--num_train_epochs", "1",
+            "--lr_sched", "cosine", "--weight_decay", "0.05",
+            "--device_resident_data", mode]))
+        assert rc == 0
+        logs[mode] = open(out / "train.log").read()
+    for key in ("eval_rfd_loss", "eval_rfd_acc"):
+        a = re.findall(rf"'{key}': ([\d.eE+-]+)", logs["on"])
+        b = re.findall(rf"'{key}': ([\d.eE+-]+)", logs["off"])
+        assert a and a == b, (key, a, b)
