@@ -67,6 +67,9 @@ def main(steps_per_call=8, rows=3_000_000, batch=4096):
     batcher = trainer.get_batcher("train", True)
     trainer._build_steps(len(batcher))
 
+    # driving the stream manually (not via _epochs_with_skip): mirror its
+    # resident-mode flag so index batches pair with the resident steps
+    batcher.emit_indices = trainer._data_ref is not None
     stream = trainer._train_stream(batcher.epoch(0))
     # warmup: compile both multi and single-step programs
     n, dev, _ = next(stream)

@@ -100,6 +100,74 @@ def main():
               h + jnp.float32(i), p, axis=0)[0, 0]),
           jnp.float32(0), h, pos)
 
+    # the forward bias expand: 1-wide take from the 131k compact source
+    cb = jnp.asarray(rng.standard_normal(C), jnp.float32)
+    bench("bias expand 745k x 1 from 131k src",
+          loop(lambda i, a, cb, s: a + jnp.take(cb + jnp.float32(i), s)[0]),
+          jnp.float32(0), cb, seg)
+
+    # the round-3 lane-select backward: 26-lane row gather from the small
+    # (28k, 26) source + VPU select (replaces the 1-wide 7.8 ms permute)
+    g26 = jnp.asarray(rng.standard_normal((28_672, 26)), jnp.float32)
+    slot = jnp.asarray(rng.integers(0, 26, N), jnp.int32)
+
+    def lane_sel(i, a, g26, pos, slot):
+        from map_tpu.ops.packed_table import select_sub_block
+
+        rows = jnp.take(g26 + jnp.float32(i), pos, axis=0)
+        return a + select_sub_block(rows, slot, 1)[0, 0]
+
+    bench("26-lane gather + lane select (new bwd)",
+          loop(lane_sel), jnp.float32(0), g26, pos, slot)
+
+    # cumsum alternative: two-level blocked (within-block + carry)
+    def cs2(i, a, g):
+        x = (g + jnp.float32(i)).reshape(1456, 512, E)
+        within = jnp.cumsum(x, axis=1)
+        carries = jnp.concatenate(
+            [jnp.zeros((1, E), jnp.float32),
+             jnp.cumsum(within[:, -1, :], axis=0)[:-1]], axis=0)
+        return a + (within + carries[:, None, :]).reshape(-1, E)[-1, 0]
+
+    bench("cumsum 745k x 32 two-level blocked", loop(cs2),
+          jnp.float32(0), g32)
+
+    bench("cumsum 745k x 32 plain",
+          loop(lambda i, a, g: a + jnp.cumsum(
+              g + jnp.float32(i), axis=0)[-1, 0]),
+          jnp.float32(0), g32)
+
+    # bias expand through a 32-lane broadcast source (the production fix:
+    # 1-wide gathers are per-row priced ~2x a 32-wide)
+    def bias_wide(i, a, cb, s):
+        cbw = jax.lax.optimization_barrier(
+            jnp.broadcast_to((cb + jnp.float32(i))[:, None], (C, 32)))
+        return a + jnp.take(cbw, s, axis=0)[0, 0]
+
+    bench("bias expand via 32-lane broadcast", loop(bias_wide),
+          jnp.float32(0), cb, seg)
+
+    # packed-3 merged expand: rows+bias packed 3 logical 33-float rows per
+    # 128-lane physical row; ONE gather + 3-way lane select
+    merged = jnp.concatenate([compact, cb[:, None]], axis=1)      # (C, 33)
+    c3 = -(-C // 3)
+    merged3 = jnp.concatenate(
+        [merged, jnp.zeros((c3 * 3 - C, 33), jnp.float32)]).reshape(c3, 99)
+    merged3 = jnp.pad(merged3, ((0, 0), (0, 29)))                 # (C/3, 128)
+
+    def packed3(i, a, m3, s):
+        wide = jax.lax.optimization_barrier(
+            jnp.take(m3 + jnp.float32(i), s // 3, axis=0))        # (n, 128)
+        slot = (s % 3)[:, None]
+        out = None
+        for j in range(3):
+            term = jnp.where(slot == j, wide[:, 33 * j:33 * j + 33], 0.0)
+            out = term if out is None else out + term
+        return a + out[0, 0] + out[0, 32]
+
+    bench("packed3 merged expand (rows+bias)", loop(packed3),
+          jnp.float32(0), merged3, seg)
+
 
 if __name__ == "__main__":
     main()

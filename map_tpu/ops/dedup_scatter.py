@@ -392,8 +392,15 @@ def _dgp_fwd(emb_packed, bias_packed, ids, embed_size, vocab):
         def run(_):
             safe_uids = jnp.minimum(uids_c[:c], vocab - 1)
             compact, cb = _gather_at(safe_uids)
+            # Bias expand rides a 32-LANE broadcast source: a 1-wide gather
+            # is per-row priced ~2x a 32-wide one (7.99 vs 3.99 ms at 745k,
+            # bench_mfp_parts round 3 — lane-padding means narrow rows read
+            # the same 128-lane tile anyway). The barrier keeps XLA from
+            # folding the broadcast back into a narrow gather.
+            cbw = jax.lax.optimization_barrier(
+                jnp.broadcast_to(cb[:, None], (cb.shape[0], 32)))
             return (jnp.take(compact, u_of_orig, axis=0),
-                    jnp.take(cb, u_of_orig))
+                    jnp.take(cbw, u_of_orig, axis=0)[:, 0])
 
         return run
 

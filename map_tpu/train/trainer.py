@@ -354,7 +354,9 @@ class Trainer:
         return jax.tree_util.tree_map(leaf, tree)
 
     def _run_train_step(self, n, dev_batch):
-        if self._data_ref is not None:
+        # key off the batch form, not just the flag: a stream driven outside
+        # _epochs_with_skip may still emit gathered id rows
+        if self._data_ref is not None and "index" in dev_batch:
             if n > 1:
                 self.state, metrics = self._resident_multi(
                     self.state, dev_batch, self._data_ref)
