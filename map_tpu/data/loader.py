@@ -125,7 +125,12 @@ class Batcher:
                            ).astype(np.float32),
             }
             if self.emit_indices:
+                # labels/weight stay in the dict for HOST consumers (window
+                # AUC) but are NOT transferred — the step regathers labels
+                # from the resident y and rebuilds weight from real_count
+                # (trainer._put device-key filter / _resident_batch)
                 batch["index"] = lidx.astype(np.int32)
+                batch["real_count"] = np.int32(real)
             else:
                 batch["input_ids"] = native.gather_rows_i32(x, lidx)
             if self.noise_rows_per_example > 0:

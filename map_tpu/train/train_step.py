@@ -52,16 +52,23 @@ def make_multi_step(step_fn, num_steps: int):
 
 def _resident_batch(batch, data):
     """Rebuild the full step batch from an index batch + the HBM-resident
-    train matrix: `input_ids = x[index]` (and RFD `noise_rows =
-    x[noise_index]`) gathered ON DEVICE. The per-step host->device transfer
-    drops from the (B, F) id block (~400 KB, + ~2.7 MB RFD noise rows at the
-    canonical config) to a few KB of indices — decisive on high-latency /
-    low-bandwidth links like the axon tunnel, where the id-block transfer
-    gated the e2e trainer at ~46% of the device step (PERFORMANCE.md
-    round 3)."""
+    train data: `input_ids = x[index]`, `labels = y[index]` (and RFD
+    `noise_rows = x[noise_index]`) gathered ON DEVICE; the padding-mask
+    weight is rebuilt from the scalar real_count. The per-step host->device
+    transfer drops from the (B, F) id block + labels + weight (~430 KB, +
+    ~2.7 MB RFD noise rows at the canonical config) to the index vector
+    (~16 KB) — decisive on high-latency / low-bandwidth links like the axon
+    tunnel, where the id-block transfer gated the e2e trainer at ~46% of the
+    device step (PERFORMANCE.md round 3)."""
     full = {k: v for k, v in batch.items()
-            if k not in ("index", "noise_index")}
-    full["input_ids"] = jnp.take(data["x"], batch["index"], axis=0)
+            if k not in ("index", "noise_index", "real_count",
+                         "labels", "weight")}
+    idx = batch["index"]
+    full["input_ids"] = jnp.take(data["x"], idx, axis=0)
+    full["labels"] = jnp.take(data["y"], idx)
+    # global positions >= real_count are padding (loader.py pads with row 0)
+    full["weight"] = (jax.lax.iota(jnp.int32, idx.shape[0])
+                      < batch["real_count"]).astype(jnp.float32)
     if "noise_index" in batch:
         full["noise_rows"] = jnp.take(data["x"], batch["noise_index"], axis=0)
     return full

@@ -217,14 +217,19 @@ class Trainer:
             return
         if x.dtype != np.int32:
             x = x.astype(np.int32)
+        y = self.dataset.Y["train"]
+        if y.dtype != np.float32:
+            y = y.astype(np.float32)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             sharding = NamedSharding(self.mesh, P())  # replicated
             xdev = jax.device_put(x, sharding)
+            ydev = jax.device_put(y, NamedSharding(self.mesh, P()))
         else:
             xdev = jax.device_put(x)
-        self._data_ref = {"x": xdev}
+            ydev = jax.device_put(y)
+        self._data_ref = {"x": xdev, "y": ydev}
         self._resident_step = ts.make_resident_step(self._train_step)
         if self._steps_per_call > 1:
             self._resident_multi = ts.make_resident_multi_step(
@@ -244,14 +249,21 @@ class Trainer:
         (loader.py process sharding); jax.make_array_from_process_local_data
         assembles the global sharded array without any cross-host transfer
         (process blocks land on that process's devices)."""
+        if "index" in batch:
+            # resident mode: labels/weight stay host-side (window logging);
+            # the step regathers them from the resident y / real_count
+            batch = {k: v for k, v in batch.items()
+                     if k not in ("labels", "weight")}
         if self.mesh is None:
             return jax.device_put(batch)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         def spec(leaf):
             ndim = leaf.ndim
+            batch_axis = 1 if stacked else 0
             axes = [None] * ndim
-            axes[1 if stacked else 0] = "data"
+            if ndim > batch_axis:
+                axes[batch_axis] = "data"  # scalars (real_count) replicate
             return NamedSharding(self.mesh, P(*axes))
 
         if jax.process_count() > 1:
