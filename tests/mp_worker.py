@@ -81,6 +81,11 @@ def train_main() -> int:
     if objective == "mfp":
         extra = dict(pretrain=True, pt_type="MFP", sampling_method="randint",
                      mask_ratio=0.3, num_model_shards=2)
+    elif objective == "resident":
+        # force device-resident train data across processes: the id matrix
+        # replicates onto every process's devices, index batches shard over
+        # 'data', weight rebuilds from the global real_count scalar
+        extra = dict(device_resident_data="on")
     args = TrainingArguments(
         output_dir=out, data_dir=data_dir, dataset_name="synth",
         per_device_train_batch_size=32, per_device_eval_batch_size=64,

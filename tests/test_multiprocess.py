@@ -100,6 +100,27 @@ def test_two_process_rowsharded_mfp_matches_single_process(tmp_path):
     assert abs(acc1 - float(res2[0][2])) < 2e-3, (res1, res2)
 
 
+def test_two_process_device_resident_matches_host_pipeline(tmp_path):
+    """device_resident_data=on across 2 jax.distributed processes: the
+    replicated HBM matrix + sharded index batches + scalar-count weight
+    rebuild must reproduce the host-pipeline AUC exactly."""
+    from map_tpu.data import synth
+
+    data_dir = str(tmp_path / "data")
+    synth.generate(data_dir, name="synth", num_rows=1500, num_fields=6,
+                   vocab_per_field=30, seed=9)
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+
+    host = _run_train(worker, env, data_dir, 2, "exact", "sup")
+    res = _run_train(worker, env, data_dir, 2, "exact", "resident")
+    assert abs(res[0][0] - res[1][0]) < 1e-9
+    assert abs(host[0][0] - res[0][0]) < 1e-9, (host, res)
+
+
 def _run_train(worker, env, data_dir, nprocs, eval_mode, objective="sup"):
     port = _free_port()
     procs = [subprocess.Popen(
