@@ -168,6 +168,44 @@ def main():
     bench("packed3 merged expand (rows+bias)", loop(packed3),
           jnp.float32(0), merged3, seg)
 
+    # fused backward gather: [h(32) | score_row(26) | pad] as ONE 64-lane
+    # take from the small (B*M, 64) source, h from lanes :32, d_score by a
+    # SCALAR-lane select (26 terms x (n,) slices = 78 MB total — no 381 MB
+    # wide-slice trap). Candidate replacement for h-gather (4.0 ms) +
+    # 1-wide d_score permute (7.9 ms) in _dsp_bwd.
+    hg = jnp.asarray(rng.standard_normal((28_672, 64)), jnp.float32)
+
+    def fused_hs(i, a, hg, pos, slot):
+        wide = jnp.take(hg + jnp.float32(i), pos, axis=0)          # (n, 64)
+        wide = jax.lax.optimization_barrier(wide)
+        h_sorted = wide[:, :32]
+        d = None
+        for s in range(26):
+            term = jnp.where(slot == s, wide[:, 32 + s], 0.0)
+            d = term if d is None else d + term
+        return a + h_sorted[0, 0] + d[0]
+
+    bench("fused h+score 64-lane gather+scalar sel", loop(fused_hs),
+          jnp.float32(0), hg, pos, slot)
+
+    # d_score via a 32-LANE-PADDED score-row gather + scalar-lane select:
+    # (B*M, 26) padded to (B*M, 32) — a clean 128-byte row (the 26-lane
+    # layout was pathological, the 64-lane row crossed the access-size
+    # cliff) — then 26 scalar-lane terms, each reading ONE (n,) lane slice.
+    g26p = jnp.pad(g26, ((0, 0), (0, 6)))
+
+    def pad32_sel(i, a, gp, pos, slot):
+        wide = jnp.take(gp + jnp.float32(i), pos, axis=0)          # (n, 32)
+        wide = jax.lax.optimization_barrier(wide)
+        d = None
+        for s in range(26):
+            term = jnp.where(slot == s, wide[:, s], 0.0)
+            d = term if d is None else d + term
+        return a + d[0]
+
+    bench("d_score via padded-32 gather+scalar sel", loop(pad32_sel),
+          jnp.float32(0), g26p, pos, slot)
+
 
 if __name__ == "__main__":
     main()
