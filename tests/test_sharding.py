@@ -238,3 +238,42 @@ def test_sharded_dedup_decoder_matches_unsharded():
     assert abs(loss_single - float(m8["loss"])) < 5e-5
     emb_mesh = np.asarray(jax.device_get(s2.params["mfp_decoder"]["emb"]))
     np.testing.assert_allclose(emb_single, emb_mesh, atol=1e-5)
+
+
+def test_per_field_shared_mfp_matches_across_mesh():
+    """The recommended pretrain configuration (per-field SHARED noise) under
+    a row-sharded ('data','model') mesh == unsharded, and the decoder table
+    stays row-sharded after the update."""
+    from map_tpu.objectives.alias import build_per_field_alias
+
+    def setup():
+        model, cfg, args, tx, state, batch = _setup(pretrain=True)
+        args.pt_shared_noise = True
+        args.pt_per_field_noise = True
+        f = cfg.num_fields
+        per = cfg.input_size // f
+        lo = np.arange(f, dtype=np.int64) * per
+        lo[0] = 10  # keep the reserved block out of field 0
+        hi = np.concatenate([lo[1:], [cfg.input_size]]).astype(np.int64)
+        counts = np.exp(cfg.logprob_noise) * 1e6
+        pf_prob, pf_alias, logq, lnz = build_per_field_alias(counts, lo, hi)
+        cfg.logprob_noise = logq
+        pf = (pf_prob, pf_alias, lo.astype(np.int32),
+              (hi - lo).astype(np.int32), lnz)
+        step, _ = ts.make_mfp_steps(model, cfg, args, tx,
+                                    jax.random.PRNGKey(1), pf_prob, pf_alias,
+                                    cfg.logprob_noise, per_field=pf)
+        return step, state, batch
+
+    step1, state1, batch = setup()
+    _, m1 = step1(state1, batch)
+    loss_single = float(m1["loss"])
+
+    step2, state2, _ = setup()
+    mesh = build_mesh(2, 4)
+    state2 = shard_state(state2, mesh)
+    sbatch = shard_batch(batch, mesh)
+    new_state, m8 = step2(state2, sbatch)
+    assert abs(loss_single - float(m8["loss"])) < 1e-5
+    emb_shard = new_state.params["embed"]["embedding"].sharding
+    assert emb_shard.spec[0] == "model"
