@@ -227,6 +227,20 @@ def _fold_stream(g_perm: jnp.ndarray, start_pos, end_pos, valid):
     return jnp.where(valid[:, None], hi - lo, 0.0)
 
 
+def _fold_stream2(gr_s, gb_s, start_pos, end_pos, valid):
+    """Fold the row-grad (n, E) and bias-grad (n, 1) streams.
+
+    A single-pass Pallas block-cumsum over the concatenated 128-lane stream
+    (ops/pallas_scan.block_cumsum) was built and MEASURED for this fold:
+    5.08 ms standalone (no better than XLA's 5.5 — the sequential grid +
+    log-scan shift-adds eat the bandwidth advantage) and 73.4 ms in-step
+    (vs 43.7 — the pallas_call materialization barrier defeats the fusion
+    around the fold). Same lesson as every mid-pipeline kernel attempt;
+    the two plain XLA folds stay."""
+    return (_fold_stream(gr_s, start_pos, end_pos, valid),
+            _fold_stream(gb_s, start_pos, end_pos, valid))
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
 def decoder_gather(emb: jnp.ndarray, bias: jnp.ndarray, ids: jnp.ndarray,
                    use_pallas_scatter: bool = False):
@@ -460,8 +474,8 @@ def _dgp_scatter_sorted(embed_size, vocab, res, gr_s, gb_s):
 
     def folded_tier(c):
         def run(_):
-            vals_e = _fold_stream(gr_s, start_pos, end_pos, valid)
-            vals_b = _fold_stream(gb_s, start_pos, end_pos, valid)
+            vals_e, vals_b = _fold_stream2(gr_s, gb_s, start_pos, end_pos,
+                                           valid)
             uids_safe = jnp.where(valid, uids_c, jnp.int32(vocab))
             return _scatter_at(uids_safe[:c], vals_e[:c], vals_b[:c], True)
 
