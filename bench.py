@@ -86,10 +86,21 @@ def main() -> None:
     tx, _ = build_optimizer(args, num_training_steps=10_000, num_warmup_steps=0)
 
     rng = np.random.default_rng(0)
+    if "--zipf" in sys.argv:
+        # realistic draw: the preprocessing assigns ids within each field in
+        # DESCENDING frequency order (reference proc_avazu.py Counter
+        # .most_common()), and CTR value frequencies are Zipf — so low
+        # in-block offsets are hot. Draw per-field Zipf offsets.
+        def draw(a, b):
+            z = rng.zipf(1.1, batch_size).astype(np.int64) - 1
+            return (a + z % (b - a)).astype(np.int32)
+    else:
+        def draw(a, b):
+            return rng.integers(a, b, batch_size).astype(np.int32)
     batch = {
         "input_ids": np.stack(
-            [rng.integers(a, b, batch_size)
-             for a, b in zip(idx_low, idx_high)], axis=1).astype(np.int32),
+            [draw(a, b) for a, b in zip(idx_low, idx_high)],
+            axis=1).astype(np.int32),
         "labels": rng.integers(0, 2, batch_size).astype(np.float32),
         "weight": np.ones(batch_size, np.float32),
     }
