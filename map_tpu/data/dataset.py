@@ -17,6 +17,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from map_tpu.data import artifacts
+from map_tpu.data.artifacts import NUM_RESERVED
 
 
 class CTRDataset:
@@ -81,7 +82,9 @@ class CTRDataset:
         # than mis-route gradients. (The reference's own assert,
         # dataset.py:71, checks values against lazily-computed min/max and is
         # tautological when the ranges come from the same array.)
-        ok = self.idx_low.min() >= 10 and bool(
+        # Floor = the same NUM_RESERVED constant the hybrid path's nresv
+        # defaults to (models/zoo.py), so the two gates cannot disagree.
+        ok = self.idx_low.min() >= NUM_RESERVED and bool(
             np.all(self.idx_low[1:] >= self.idx_high[:-1]))
         if not ok:
             self.field_blocked_ok = False

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from map_tpu.data.artifacts import NUM_RESERVED
 from map_tpu.models.base import CTRModel
 from map_tpu.nn.layers import (
     AttentionalPrediction,
@@ -66,7 +67,7 @@ def _embeddings(config: Any, name: str = "embed") -> Embeddings:
         packed=bool(getattr(config, "packed_tables", False)),
         field_bounds=_field_bounds(config),
         hybrid_mode=getattr(config, "hybrid_mode", "") or "",
-        nresv=int(getattr(config, "reserved_ids", 10) or 10),
+        nresv=int(getattr(config, "reserved_ids", NUM_RESERVED) or NUM_RESERVED),
         name=name,
     )
 

@@ -86,10 +86,19 @@ SMALL_FIELD_MAX = int(_os.environ.get("MAP_TPU_SMALL_FIELD_MAX", "16384"))
 _DEFAULT_MODE = "fwd"
 
 
+_VALID_MODES = frozenset({"fwd", "both", "matmul", "bwd", "bwd_pallas"})
+
+
 def _resolve_mode(mode):
-    if mode:
-        return mode
-    return _os.environ.get("MAP_TPU_HYBRID_MODE", _DEFAULT_MODE)
+    resolved = mode or _os.environ.get("MAP_TPU_HYBRID_MODE", _DEFAULT_MODE)
+    if resolved not in _VALID_MODES:
+        # A typo'd mode would otherwise silently fall through to the slowest
+        # decomposed backward; fail loudly instead.
+        raise ValueError(
+            f"unknown hybrid mode {resolved!r} "
+            f"(config.hybrid_mode / MAP_TPU_HYBRID_MODE); "
+            f"valid: {sorted(_VALID_MODES)}")
+    return resolved
 
 
 def field_groups(bounds, pack: int, nresv: int = 10):

@@ -35,8 +35,8 @@ def _on_tpu() -> bool:
 def block_cumsum(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """Inclusive prefix sum over axis 0 of an (n, w) f32 array.
 
-    Routes through the Pallas streaming kernel on TPU when n divides BLOCK
-    and w == LANES; otherwise falls back to jnp.cumsum (bit-comparable up to
+    Routes through the Pallas streaming kernel on TPU when BLOCK divides n
+    (n % 512 == 0) and w == LANES; otherwise falls back to jnp.cumsum (bit-comparable up to
     f32 reassociation: the kernel folds per 512-row block then adds the
     running carry — the same left-to-right order as a serial prefix sum at
     block granularity)."""

@@ -127,6 +127,8 @@ class Trainer:
         tx, self._schedule = build_optimizer(self.args, t_total, t_warmup)
         rng = jax.random.PRNGKey(self.args.seed)
         init_rng, step_rng, self._eval_rng_base = jax.random.split(rng, 3)
+        # kept for streaming-AUC bin escalation (eval-step rebuild)
+        self._tx, self._step_rng = tx, step_rng
 
         sample = next(self.get_batcher("train", True).epoch(0))
         self.state = ts.create_train_state(self.model, self.config, self.args,
@@ -194,6 +196,17 @@ class Trainer:
         self._t_total, self._t_warmup = t_total, t_warmup
         self._maybe_resume()
 
+    def _rebuild_streaming_eval(self, new_bins: int) -> None:
+        """Rebuild the supervised eval step with a finer streaming histogram
+        (bound-breach escalation; the train step is untouched)."""
+        self._streaming_bins = int(new_bins)
+        _, self._eval_step = ts.make_supervised_steps(
+            self.model, self.config, self.args, self._tx, self._step_rng,
+            streaming_bins=self._streaming_bins)
+        if self._multi_eval is not None:
+            self._multi_eval = ts.make_multi_eval(
+                self._eval_step, self._eval_has_rng)
+
     def _setup_resident_data(self) -> None:
         """Device-resident train data: upload the train id matrix to HBM once
         and ship only shuffled indices per step (train_step._resident_batch).
@@ -210,11 +223,21 @@ class Trainer:
             return
         x = self.dataset.X["train"]
         budget = float(getattr(self.args, "device_data_budget_gb", 8.0)) * 1e9
-        if mode == "auto" and x.nbytes > budget:
-            logger.info(
-                f"device-resident data: off (train matrix {x.nbytes/1e9:.1f} "
-                f"GB > budget {budget/1e9:.1f} GB)")
-            return
+        if x.nbytes > budget:
+            if mode == "auto":
+                logger.info(
+                    f"device-resident data: off (train matrix {x.nbytes/1e9:.1f} "
+                    f"GB > budget {budget/1e9:.1f} GB)")
+                return
+            # forced ('on'): proceed, but surface the risk before the upload
+            # (on multi-host the full matrix replicates onto every process's
+            # devices) instead of leaving only the allocator failure.
+            logger.warning(
+                f"device-resident data FORCED on: train matrix "
+                f"{x.nbytes/1e9:.1f} GB exceeds device_data_budget_gb "
+                f"{budget/1e9:.1f} — the upload may OOM the device"
+                + (f" (replicated onto every process)"
+                   if jax.process_count() > 1 else ""))
         if x.dtype != np.int32:
             x = x.astype(np.int32)
         y = self.dataset.Y["train"]
@@ -536,7 +559,7 @@ class Trainer:
                          for p in tr_probs]).astype(np.float64)
                     labels = np.concatenate(tr_labels)
                     w = np.concatenate(tr_weights) > 0
-                    window_auc = roc_auc(labels[w], probs[w])
+                    window_auc = self._window_auc(labels[w], probs[w])
                     dt = time.time() - window_t0
                     _log = {"window_auc": window_auc,
                             "window_loss": float(losses.mean()),
@@ -553,6 +576,18 @@ class Trainer:
         with pd.option_context("display.max_rows", None, "display.max_columns", None):
             logger.info(str(pd.DataFrame(self.eval_metrics, columns=["auc", "log_loss"])))
 
+    @staticmethod
+    def _window_auc(labels: np.ndarray, probs: np.ndarray) -> float:
+        """Windowed train AUC; a single-class logging window (skewed stream at
+        small logging_steps) is a progress signal, not worth a mid-epoch crash
+        — returns nan and training continues. (The reference crashes in
+        sklearn here; eval() keeps the strict both-classes contract since it
+        drives model selection.)"""
+        try:
+            return roc_auc(labels, probs)
+        except ValueError:
+            return float("nan")
+
     def eval(self, split: str = "valid", test_eval: bool = False) -> Dict[str, float]:
         batcher = self.get_batcher(split, False)
         logger.info("\n***** running TEST *****" if test_eval else "\n***** running eval *****")
@@ -561,59 +596,77 @@ class Trainer:
 
         streaming = self._streaming_bins > 0
         multihost = jax.process_count() > 1
-        dev_metrics, all_labels, all_w = [], [], []
-        for m, host_group in self._eval_dispatch(batcher.epoch(0)):
+
+        def run_pass():
+            dev_metrics, all_labels, all_w = [], [], []
+            for m, host_group in self._eval_dispatch(batcher.epoch(0)):
+                if multihost and not streaming:
+                    # per-example outputs are sharded across processes; gather
+                    # the global batch on every host (exact AUC needs a global
+                    # sort). Process blocks are contiguous in the batch, so
+                    # tiled allgather restores global order.
+                    from jax.experimental import multihost_utils
+                    m = {"loss": jax.device_get(m["loss"]),
+                         "logits": multihost_utils.process_allgather(
+                             m["logits"], tiled=True),
+                         "probs": multihost_utils.process_allgather(
+                             m["probs"], tiled=True)}
+                dev_metrics.append(m)
+                if not streaming:
+                    all_labels.extend(g["labels"] for g in host_group)
+                    all_w.extend(g["weight"] for g in host_group)
             if multihost and not streaming:
-                # per-example outputs are sharded across processes; gather the
-                # global batch on every host (exact AUC needs a global sort).
-                # Process blocks are contiguous in the batch, so tiled
-                # allgather restores global order.
                 from jax.experimental import multihost_utils
-                m = {"loss": jax.device_get(m["loss"]),
-                     "logits": multihost_utils.process_allgather(
-                         m["logits"], tiled=True),
-                     "probs": multihost_utils.process_allgather(
-                         m["probs"], tiled=True)}
-            dev_metrics.append(m)
-            if not streaming:
-                all_labels.extend(g["labels"] for g in host_group)
-                all_w.extend(g["weight"] for g in host_group)
-        if multihost and not streaming:
-            from jax.experimental import multihost_utils
-            all_labels = [multihost_utils.process_allgather(lbl, tiled=True)
-                          for lbl in all_labels]
-            all_w = [multihost_utils.process_allgather(w, tiled=True)
-                     for w in all_w]
-            got = dev_metrics
-        else:
-            got = jax.device_get(dev_metrics)
+                all_labels = [multihost_utils.process_allgather(lbl, tiled=True)
+                              for lbl in all_labels]
+                all_w = [multihost_utils.process_allgather(w, tiled=True)
+                         for w in all_w]
+                return dev_metrics, all_labels, all_w
+            return jax.device_get(dev_metrics), all_labels, all_w
 
         if streaming:
-            # device-reduced histograms + exact sums (O(bins) D2H per batch)
-            nb = self._streaming_bins
-            hist_pos = np.zeros(nb, np.float64)
-            hist_neg = np.zeros(nb, np.float64)
-            ll_sum = logit_sum = prob_sum = count = 0.0
-            for g in got:
-                hist_pos += np.asarray(g["hist_pos"], np.float64).reshape(-1, nb).sum(0)
-                hist_neg += np.asarray(g["hist_neg"], np.float64).reshape(-1, nb).sum(0)
-                ll_sum += float(np.sum(g["ll_sum"]))
-                logit_sum += float(np.sum(g["logit_sum"]))
-                prob_sum += float(np.sum(g["prob_sum"]))
-                count += float(np.sum(g["count"]))
-            auc = auc_from_histograms(hist_pos, hist_neg)
-            from map_tpu.utils.metrics import auc_histogram_error_bound
-            bound = auc_histogram_error_bound(hist_pos, hist_neg)
-            if bound > 5e-5:
-                logger.warning(
-                    f"streaming AUC certified error bound {bound:.2e} exceeds "
-                    f"5e-5 — raise --auc_bins or disable --streaming_auc for "
-                    f"model selection")
-            else:
-                logger.info(f"streaming AUC certified error bound {bound:.2e}")
+            # device-reduced histograms + exact sums (O(bins) D2H per batch).
+            # The certified bound (utils/metrics.py) gates model-selection
+            # safety: on a breach the bin count auto-doubles (eval step is
+            # rebuilt) and the pass re-runs, instead of silently selecting on
+            # an under-resolved estimate (all pass bins are re-histogrammed,
+            # so escalation is exact, just a re-dispatch + re-jit).
+            AUC_BOUND, BINS_CAP = 5e-5, 1 << 20
+            while True:
+                got, _, _ = run_pass()
+                nb = self._streaming_bins
+                hist_pos = np.zeros(nb, np.float64)
+                hist_neg = np.zeros(nb, np.float64)
+                ll_sum = logit_sum = prob_sum = count = 0.0
+                for g in got:
+                    hist_pos += np.asarray(g["hist_pos"], np.float64).reshape(-1, nb).sum(0)
+                    hist_neg += np.asarray(g["hist_neg"], np.float64).reshape(-1, nb).sum(0)
+                    ll_sum += float(np.sum(g["ll_sum"]))
+                    logit_sum += float(np.sum(g["logit_sum"]))
+                    prob_sum += float(np.sum(g["prob_sum"]))
+                    count += float(np.sum(g["count"]))
+                auc = auc_from_histograms(hist_pos, hist_neg)
+                from map_tpu.utils.metrics import auc_histogram_error_bound
+                bound = auc_histogram_error_bound(hist_pos, hist_neg)
+                if bound > AUC_BOUND and nb < BINS_CAP:
+                    logger.warning(
+                        f"streaming AUC certified error bound {bound:.2e} "
+                        f"exceeds {AUC_BOUND:.0e}; escalating auc_bins "
+                        f"{nb} -> {nb * 2} and re-running the eval pass")
+                    self._rebuild_streaming_eval(nb * 2)
+                    continue
+                if bound > AUC_BOUND:
+                    logger.warning(
+                        f"streaming AUC certified error bound {bound:.2e} "
+                        f"still exceeds {AUC_BOUND:.0e} at the {nb}-bin cap — "
+                        f"disable --streaming_auc for model selection")
+                else:
+                    logger.info(f"streaming AUC certified error bound {bound:.2e}")
+                break
             ll = ll_sum / count
             avg_logits, avg_probs = logit_sum / count, prob_sum / count
         else:
+            got, all_labels, all_w = run_pass()
             logits = np.concatenate(
                 [np.asarray(g["logits"]).reshape(-1) for g in got]).astype(np.float64)
             probs = np.concatenate(
@@ -786,6 +839,15 @@ class Trainer:
         self.state = self.state.replace(
             params=restored["params"],
             batch_stats=restored.get("batch_stats", self.state.batch_stats))
+        if getattr(self, "mesh", None) is not None:
+            # Re-apply the mesh layout: the restored leaves are host numpy
+            # arrays, and the eval/test steps were traced for the sharded
+            # layout (row-sharded tables under table_sharding='rows').
+            # Without this, single-process jit silently re-shards every call
+            # and multi-process fails on non-addressable arrays.
+            from map_tpu.parallel import sharding as sh
+
+            self.state = sh.shard_state(self.state, self.mesh, self._table_mode)
 
     def test(self, load_step: int = -1, model_dir: Optional[str] = None
              ) -> Dict[str, float]:
