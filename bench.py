@@ -66,7 +66,9 @@ def main() -> None:
     hybrid = "--no-hybrid" not in sys.argv
     cfg = Config(
         field_blocked_lookup=hybrid,
-        compute_dtype="bfloat16" if "--bf16" in sys.argv else None,
+        # bf16 is the production default (config.py round-4 flip); --f32
+        # restores the old measurement mode, --bf16 is accepted as a no-op.
+        compute_dtype="float32" if "--f32" in sys.argv else "bfloat16",
         idx_low=idx_low, idx_high=idx_high,
         model_name="dcnv2", input_size=input_size, num_fields=num_fields,
         embed_size=16, hidden_size=1000, num_hidden_layers=3, hidden_act="relu",

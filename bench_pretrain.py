@@ -59,6 +59,8 @@ def geometry():
 def base_config(v, f, idx_low, idx_high, **kw):
     from map_tpu.config import Config
 
+    kw.setdefault("compute_dtype",
+                  "float32" if "--f32" in sys.argv else "bfloat16")
     return Config(
         model_name="dcnv2", input_size=v, num_fields=f, embed_size=16,
         hidden_size=1000, num_hidden_layers=3, hidden_act="relu",
