@@ -106,7 +106,7 @@ def pf_loss_fns(env):
     F = int(cfg.num_fields)
 
     def loss_of(params, batch_stats, batch, rng, *, corrupt=True,
-                draw=True, noise_scoring=True):
+                draw=True, noise_scoring=True, sg=None):
         k_mask, k_noise, k_drop = jax.random.split(rng, 3)
         if corrupt:
             corrupted, labels, masked_index = corruption.mfp_corrupt(
@@ -125,7 +125,40 @@ def pf_loss_fns(env):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        if noise_scoring:
+        if sg is not None:
+            # stop-gradient ablations: mirror per_field_shared_noise_logits
+            # with either the decoder lookups ('decoder') or the tower
+            # ('tower') cut out of the backward
+            def sg_scoring(mdl, input_ids, masked_index, target_idx, nf,
+                           train=True):
+                c = mdl.config
+                final_vec = mdl.backbone(input_ids, True)
+                if sg == "tower":
+                    final_vec = jax.lax.stop_gradient(final_vec)
+                b_ = final_vec.shape[0]
+                enc = mdl.feat_encoder(final_vec).reshape(
+                    b_, c.num_fields, c.proj_size)
+                sel = jnp.take_along_axis(enc, masked_index[..., None], axis=1)
+                t_rows, t_bias = mdl.mfp_decoder._lookup_rows(target_idx)
+                n_flat, nb_flat = mdl.mfp_decoder._lookup_rows(nf.reshape(-1))
+                if sg == "decoder":
+                    t_rows = jax.lax.stop_gradient(t_rows)
+                    t_bias = jax.lax.stop_gradient(t_bias)
+                    n_flat = jax.lax.stop_gradient(n_flat)
+                    nb_flat = jax.lax.stop_gradient(nb_flat)
+                f_, k_ = nf.shape
+                ts_ = jnp.einsum("bme,bme->bm", sel, t_rows) + t_bias
+                n_rows = n_flat.reshape(f_, k_, -1)
+                n_bias = nb_flat.reshape(f_, k_)
+                all_scores = jnp.einsum("bme,fke->bmfk", sel, n_rows) + n_bias
+                oh = jax.nn.one_hot(masked_index, f_, dtype=all_scores.dtype)
+                ns = jnp.einsum("bmfk,bmf->bmk", all_scores, oh)
+                return jnp.concatenate([ts_[..., None], ns], axis=-1)
+
+            logits = model.apply(
+                variables, corrupted, masked_index, labels, noise_f,
+                method=sg_scoring, train=True, rngs={"dropout": k_drop})
+        elif noise_scoring:
             logits = model.apply(
                 variables, corrupted, masked_index, labels, noise_f,
                 method=model.mfp_per_field_shared_logits, train=True,
@@ -174,7 +207,7 @@ def main():
 
     which = set(sys.argv[1:]) or {
         "full", "no_opt", "fwd", "precorrupt", "fixed_noise", "target_only",
-        "backbone"}
+        "backbone", "sg_decoder", "sg_tower"}
     env = setup()
     model, cfg, args, tx = env["model"], env["cfg"], env["args"], env["tx"]
     batch = env["batch"]
@@ -258,6 +291,16 @@ def main():
         results["target_only"] = timeit(make_step(noise_scoring=False),
                                         fresh_state(), batch)
         print(f"target_only   {results['target_only']*1e3:7.2f} ms", flush=True)
+
+    if "sg_decoder" in which:
+        results["sg_decoder"] = timeit(make_step(sg="decoder"),
+                                       fresh_state(), batch)
+        print(f"sg_decoder    {results['sg_decoder']*1e3:7.2f} ms", flush=True)
+
+    if "sg_tower" in which:
+        results["sg_tower"] = timeit(make_step(sg="tower"),
+                                     fresh_state(), batch)
+        print(f"sg_tower      {results['sg_tower']*1e3:7.2f} ms", flush=True)
 
     if "backbone" in which:
         # supervised step at the same geometry = tower + input-table AdamW floor

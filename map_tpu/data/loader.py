@@ -53,6 +53,12 @@ class Batcher:
             "global batch must divide evenly across processes"
         self.process_index = int(process_index)
         self.process_count = int(process_count)
+        # Mesh-aware override (trainer sets this once the mesh exists):
+        # (start_block, n_blocks, total_blocks) of P('data') batch sharding.
+        # Model-axis replicas that span processes cover the SAME data block
+        # and must materialize identical rows, so the loader shards by data
+        # block, not by process (parallel.sharding.process_data_blocks).
+        self.row_shard = None
         self._epoch = 0
         # Device-resident-data mode (trainer sets this after deciding
         # residency): emit row INDICES instead of gathered id rows — the
@@ -109,8 +115,16 @@ class Batcher:
             k = bs * self.noise_rows_per_example
             rng.integers(0, len(self.noise_source),
                          size=min(start_batch, num_batches) * k)
-        lbs = self.local_batch_size
-        lo = self.process_index * lbs
+        if self.row_shard is not None:
+            start_block, n_blocks, total_blocks = self.row_shard
+            assert bs % total_blocks == 0, \
+                "global batch must divide evenly across data blocks"
+            rows_per_block = bs // total_blocks
+            lbs = n_blocks * rows_per_block
+            lo = start_block * rows_per_block
+        else:
+            lbs = self.local_batch_size
+            lo = self.process_index * lbs
         for b in range(start_batch, num_batches):
             idx = order[b * bs:(b + 1) * bs]
             real = len(idx)

@@ -99,6 +99,32 @@ def shard_state(state: Any, mesh: Mesh, table_sharding: str = "rows") -> Any:
     return jax.device_put(state, state_shardings(state, mesh, table_sharding))
 
 
+def process_data_blocks(mesh: Mesh) -> tuple:
+    """(blocks, D): the data-axis block indices covered by THIS process's
+    devices, and the data-axis size D.
+
+    Under P('data') batch sharding the global batch splits into D contiguous
+    row blocks, each replicated across the 'model' axis. When model-axis
+    replicas span processes (e.g. a 2x2 mesh over 4 single-device processes),
+    two processes share a block and must materialize IDENTICAL rows — naive
+    uniform process slicing hands each replica different data and the batch
+    assembles silently corrupted (caught by
+    tests/test_multiprocess.py::test_multi_process_rowsharded_mfp, nprocs=4).
+    The covered blocks are contiguous for the row-major device order
+    build_mesh uses; asserted here because the loader slices one range.
+    """
+    d = int(mesh.shape.get(DATA_AXIS, 1))
+    ax = mesh.axis_names.index(DATA_AXIS)
+    dev = np.moveaxis(np.asarray(mesh.devices), ax, 0).reshape(d, -1)
+    pid = jax.process_index()
+    blocks = sorted({i for i in range(d)
+                     if any(x.process_index == pid for x in dev[i])})
+    assert blocks, "process owns no mesh devices"
+    assert blocks == list(range(blocks[0], blocks[-1] + 1)), \
+        f"process data blocks not contiguous: {blocks}"
+    return blocks, d
+
+
 def batch_shardings(batch: Any, mesh: Mesh) -> Any:
     def spec(leaf):
         ndim = getattr(leaf, "ndim", 0)

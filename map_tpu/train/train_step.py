@@ -220,7 +220,12 @@ def make_supervised_steps(model, config, args, tx, base_rng,
         loss = bce_loss(logits, batch["labels"], batch["weight"])
         probs = jax.nn.sigmoid(logits)
         if not streaming_bins:
-            return {"loss": loss, "logits": logits, "probs": probs}
+            # labels/weight ride along so the multi-host exact eval can
+            # allgather them from the GLOBAL device batch (host-side
+            # per-process labels would duplicate model-replica blocks when
+            # replicas span processes — trainer.eval run_pass)
+            return {"loss": loss, "logits": logits, "probs": probs,
+                    "labels": batch["labels"], "weight": batch["weight"]}
         # streaming mode: O(bins) reduction on device. Padding rows carry
         # weight 0 and drop out of every sum/histogram.
         w = batch["weight"]

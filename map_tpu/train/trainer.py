@@ -112,7 +112,7 @@ class Trainer:
             else self.args.per_device_eval_batch_size
         from map_tpu.parallel.mesh import data_parallel_size
         bs = bs * max(1, data_parallel_size(self.args))
-        return Batcher(
+        b = Batcher(
             self.dataset.X[split], self.dataset.Y[split],
             batch_size=bs, shuffle=is_training, seed=self.args.seed,
             noise_source=self.dataset.X["train"],
@@ -120,6 +120,20 @@ class Trainer:
             process_index=jax.process_index(),
             process_count=jax.process_count(),
         )
+        b.row_shard = self._row_shard()
+        return b
+
+    def _row_shard(self):
+        """Mesh-aware loader sharding: (start_block, n_blocks, D) of P('data')
+        batch sharding for this process, or None for uniform process blocks.
+        Needed once model-axis replicas span processes — each replica must
+        hold IDENTICAL rows of its data block (process_data_blocks)."""
+        if getattr(self, "mesh", None) is None or jax.process_count() == 1:
+            return None
+        from map_tpu.parallel.sharding import process_data_blocks
+
+        blocks, d = process_data_blocks(self.mesh)
+        return (blocks[0], len(blocks), d)
 
     def _build_steps(self, num_batches_per_epoch: int):
         t_total = int(num_batches_per_epoch * self.args.num_train_epochs)
@@ -290,9 +304,23 @@ class Trainer:
             return NamedSharding(self.mesh, P(*axes))
 
         if jax.process_count() > 1:
-            return jax.tree.map(
-                lambda leaf: jax.make_array_from_process_local_data(
-                    spec(leaf), np.asarray(leaf)), batch)
+            # explicit global shape: when model-axis replicas span processes,
+            # several processes contribute the SAME data block, so the global
+            # batch axis is local * D / n_local_blocks — jax's inference
+            # (local * process_count / ...) would mis-scale it.
+            shard = self._row_shard() or (0, 1, jax.process_count())
+            _, n_blocks, d = shard
+
+            def put(leaf):
+                leaf = np.asarray(leaf)
+                batch_axis = 1 if stacked else 0
+                gshape = list(leaf.shape)
+                if leaf.ndim > batch_axis:
+                    gshape[batch_axis] = leaf.shape[batch_axis] * d // n_blocks
+                return jax.make_array_from_process_local_data(
+                    spec(leaf), leaf, tuple(gshape))
+
+            return jax.tree.map(put, batch)
         return jax.device_put(batch, jax.tree.map(spec, batch))
 
     def _grouped_stream(self, batches, grouped: bool):
@@ -480,6 +508,9 @@ class Trainer:
         # device-resident (_setup_resident_data); eval batchers never route
         # through here and keep the host-gather pipeline
         batcher.emit_indices = self._data_ref is not None
+        # the train batcher is created BEFORE the mesh exists (_build_steps
+        # needs its length); re-resolve the mesh-aware loader sharding now
+        batcher.row_shard = self._row_shard()
         per_epoch = len(batcher)
         start_epoch = self.global_step // per_epoch
         skip = self.global_step % per_epoch
@@ -603,24 +634,28 @@ class Trainer:
                 if multihost and not streaming:
                     # per-example outputs are sharded across processes; gather
                     # the global batch on every host (exact AUC needs a global
-                    # sort). Process blocks are contiguous in the batch, so
-                    # tiled allgather restores global order.
+                    # sort). Labels/weight come from the GLOBAL device batch —
+                    # host-side per-process labels would duplicate model-
+                    # replica blocks when replicas span processes.
                     from jax.experimental import multihost_utils
+
+                    def allg(x):
+                        return multihost_utils.process_allgather(x, tiled=True)
+
                     m = {"loss": jax.device_get(m["loss"]),
-                         "logits": multihost_utils.process_allgather(
-                             m["logits"], tiled=True),
-                         "probs": multihost_utils.process_allgather(
-                             m["probs"], tiled=True)}
+                         "logits": allg(m["logits"]),
+                         "probs": allg(m["probs"]),
+                         "labels": allg(m["labels"]),
+                         "weight": allg(m["weight"])}
+                    all_labels.append(np.asarray(m["labels"]).reshape(-1))
+                    all_w.append(np.asarray(m["weight"]).reshape(-1))
+                    dev_metrics.append(m)
+                    continue
                 dev_metrics.append(m)
                 if not streaming:
                     all_labels.extend(g["labels"] for g in host_group)
                     all_w.extend(g["weight"] for g in host_group)
             if multihost and not streaming:
-                from jax.experimental import multihost_utils
-                all_labels = [multihost_utils.process_allgather(lbl, tiled=True)
-                              for lbl in all_labels]
-                all_w = [multihost_utils.process_allgather(w, tiled=True)
-                         for w in all_w]
                 return dev_metrics, all_labels, all_w
             return jax.device_get(dev_metrics), all_labels, all_w
 
