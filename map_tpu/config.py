@@ -97,6 +97,14 @@ class TrainingArguments:
     # on it (round-2 advisor: module-global knobs are invisible to jit).
     hybrid_mode: str = ""
     table_sharding: str = "auto"  # auto | replicated | rows
+    # Exchange strategy for rows-sharded tables: 'psum' (masked full gather
+    # + psum on every shard — correctness baseline, per-chip gather work
+    # constant in shard count) or 'hotcold' (per-field hot prefixes served
+    # from a per-step replicated cache + capacity-bounded sorted-segment
+    # exchange for the cold tail — per-chip work ~N/S; exact always via the
+    # overflow fallback; parallel.embedding.hotcold_embedding_lookup).
+    table_exchange: str = "psum"
+    hot_rows_per_field: int = 512  # hotcold: replicated prefix per field
     mock_devices: int = 0        # >0: force CPU with N virtual devices (testing)
     # Streaming eval: the device reduces each eval batch to two score
     # histograms + scalar sums, so AUC/LogLoss need no per-example host

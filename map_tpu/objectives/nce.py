@@ -155,6 +155,25 @@ class IndexLinearDecoder(nn.Module):
             rows, b = self._lookup_rows(indices)
         return jnp.einsum("bme,bmce->bmc", inputs, rows) + b
 
+    def _target_scores(self, inputs: jnp.ndarray,
+                       target_idx: jnp.ndarray) -> jnp.ndarray:
+        """(B, M, E) x (B, M) -> (B, M) target scores <h, emb[t]> + bias[t].
+
+        Routes the backward through the sorted dedup fold
+        (dedup_scatter.decoder_score_packed) when available: the flat
+        B*M-row scatter the plain lookup's VJP emits serializes on the
+        Zipf-duplicated target ids (3.85 ms raw vs 1.86 ms sorted for the
+        canonical 28.7k-row stream — benchmarks/bench_dec_bwd.py)."""
+        nce_grad = getattr(self.config, "nce_grad", "dedup")
+        if self.packed and nce_grad in ("dedup", "dedup_pallas"):
+            from map_tpu.ops import dedup_scatter
+
+            return dedup_scatter.decoder_score_packed(
+                self.emb, self.bias, inputs, target_idx[..., None],
+                self.proj_size, self.input_size)[..., 0]
+        t_rows, t_bias = self._lookup_rows(target_idx)
+        return jnp.einsum("bme,bme->bm", inputs, t_rows) + t_bias
+
     def shared_noise_logits(self, inputs: jnp.ndarray, target_idx: jnp.ndarray,
                             noise_idx: jnp.ndarray) -> jnp.ndarray:
         """Batched variant: ONE noise set shared across the batch
@@ -165,8 +184,7 @@ class IndexLinearDecoder(nn.Module):
         matmul and the backward scatter shrinks from B*M*(1+k) rows to B*M
         target rows + k noise rows — the fast configuration on TPU.
         """
-        t_rows, t_bias = self._lookup_rows(target_idx)  # (B, M, E), (B, M)
-        target_score = jnp.einsum("bme,bme->bm", inputs, t_rows) + t_bias
+        target_score = self._target_scores(inputs, target_idx)
         n_rows, n_bias = self._lookup_rows(noise_idx)   # (k, E), (k,) tiny
         noise_score = jnp.einsum("bme,ke->bmk", inputs, n_rows) + n_bias
         return jnp.concatenate([target_score[..., None], noise_score], axis=-1)
@@ -188,8 +206,7 @@ class IndexLinearDecoder(nn.Module):
         while sampling negatives from the masked field's own id block (the
         north-star upgrade over the reference's global unigram,
         SURVEY.md §2.4)."""
-        t_rows, t_bias = self._lookup_rows(target_idx)  # (B, M, E), (B, M)
-        target_score = jnp.einsum("bme,bme->bm", inputs, t_rows) + t_bias
+        target_score = self._target_scores(inputs, target_idx)
         f, k = noise_f.shape
         n_flat, nb_flat = self._lookup_rows(noise_f.reshape(-1))  # tiny
         n_rows = n_flat.reshape(f, k, -1)                 # (F, k, E)

@@ -74,8 +74,14 @@ def embedding_lookup(table: jnp.ndarray, ids: jnp.ndarray,
     mesh = table_mesh()
     if (mesh is not None and ids.ndim >= 2
             and table.shape[0] % mesh.shape[MODEL_AXIS] == 0):
-        from map_tpu.parallel.embedding import sharded_embedding_lookup
+        from map_tpu.parallel.context import table_exchange, table_hot_rows
+        from map_tpu.parallel.embedding import (
+            hotcold_embedding_lookup, sharded_embedding_lookup)
 
+        hot = (table_hot_rows(table.shape[0])
+               if table_exchange() == "hotcold" else None)
+        if hot is not None and len(hot) > 0:
+            return hotcold_embedding_lookup(table, ids, mesh, hot)
         return sharded_embedding_lookup(table, ids, mesh)
     if fast_grad is None:
         fast_grad = FAST_GRAD_ENABLED

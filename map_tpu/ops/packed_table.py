@@ -129,6 +129,14 @@ def select_sub_block(rows_wide: jnp.ndarray, slot: jnp.ndarray,
     which prevents the mirrored defusion in the backward pass."""
     rows_wide = jax.lax.optimization_barrier(rows_wide)
     p = rows_wide.shape[-1] // embed_size
+    if embed_size == 1:
+        # 1-wide tables (bias / LR weight) pack at p=128: the unrolled
+        # masked-select chain below becomes 128 where+add terms whose VJP is
+        # a 128-term cotangent chain — measured ~14x the emb path's backward
+        # at the NCE target scale. A lane one-hot multiply+reduce is one VPU
+        # pass and its VJP is a single outer product.
+        onehot = jax.nn.one_hot(slot, p, dtype=rows_wide.dtype)
+        return jnp.sum(rows_wide * onehot, axis=-1, keepdims=True)
     s2 = slot[..., None]
     out = None
     for s in range(p):
@@ -145,6 +153,11 @@ def expand_to_packed(vals: jnp.ndarray, sub_slot: jnp.ndarray,
     into a packed table at physical row id//pack (the transpose of the
     packed_lookup selection). Lane-slice masked writes, not a one-hot outer
     product (see packed_lookup)."""
+    if vals.shape[1] == 1:
+        # 1-wide values at p=128: one one-hot outer product instead of a
+        # 128-term masked-write concat (same pathology as select_sub_block's
+        # unrolled chain — see that function's embed_size==1 case)
+        return jax.nn.one_hot(sub_slot, pack, dtype=vals.dtype) * vals
     slot = sub_slot[:, None]
     return jnp.concatenate(
         [jnp.where(slot == s, vals, 0.0) for s in range(pack)], axis=1)

@@ -24,6 +24,16 @@ from jax.sharding import Mesh
 from map_tpu.parallel.mesh import MODEL_AXIS
 
 _TABLE_MESH: Optional[Mesh] = None
+# Exchange strategy for row-sharded lookups (consulted at trace time, like
+# the mesh): 'psum' = masked full gather + psum on every shard (correctness
+# baseline; per-chip gather work constant in shard count); 'hotcold' =
+# per-field hot prefixes served from a per-step replicated cache + cold ids
+# through a capacity-bounded sorted-segment exchange (per-chip gather work
+# ~N/S; see parallel.embedding.hotcold_embedding_lookup).
+_TABLE_EXCHANGE: str = "psum"
+# static hot physical-row lists keyed by table physical row count (tables
+# sharing a row count share geometry and pack factor, hence the same list)
+_TABLE_HOT_ROWS: dict = {}
 
 
 def set_table_mesh(mesh: Optional[Mesh]) -> None:
@@ -34,6 +44,24 @@ def set_table_mesh(mesh: Optional[Mesh]) -> None:
     """
     global _TABLE_MESH
     _TABLE_MESH = mesh
+
+
+def set_table_exchange(kind: str, hot_rows: Optional[dict] = None) -> None:
+    """Select the row-sharded exchange strategy ('psum' | 'hotcold') and, for
+    'hotcold', the static hot physical-row lists {num_phys_rows: (H,) array}."""
+    global _TABLE_EXCHANGE, _TABLE_HOT_ROWS
+    assert kind in ("psum", "hotcold"), kind
+    _TABLE_EXCHANGE = kind
+    _TABLE_HOT_ROWS = dict(hot_rows or {})
+
+
+def table_exchange() -> str:
+    return _TABLE_EXCHANGE
+
+
+def table_hot_rows(num_phys_rows: int):
+    """The static hot physical-row list for a table, or None."""
+    return _TABLE_HOT_ROWS.get(int(num_phys_rows))
 
 
 def table_mesh() -> Optional[Mesh]:

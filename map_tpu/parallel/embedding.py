@@ -27,6 +27,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from map_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
@@ -100,6 +101,102 @@ def sharded_rows_scatter_add(phys_ids: jnp.ndarray, vals: jnp.ndarray,
 
     return jax.shard_map(local, mesh=mesh, in_specs=(P(), P()),
                          out_specs=P(MODEL_AXIS, None))(phys_ids, vals)
+
+
+def hotcold_embedding_lookup(table: jnp.ndarray, ids: jnp.ndarray,
+                             mesh: Mesh, hot_rows,
+                             capacity_frac: float = 1.5) -> jnp.ndarray:
+    """Work-REDUCING row-sharded exchange (SURVEY §2.7 consequence (1), the
+    all-to-all-class upgrade over the psum baseline): per-chip gather work
+    shrinks ~1/S with shard count S instead of staying constant.
+
+    table (R, W) row-sharded over MODEL; ids (..., ) physical rows, sharded
+    over DATA on axis 0, replicated over MODEL. hot_rows: STATIC ascending
+    (H,) physical-row list (the per-field frequency-descending prefixes the
+    preprocessing id space guarantees, ref proc_avazu.py:248-251).
+
+    Three-part exchange, all static-shape:
+    1. HOT cache: the H hot rows are assembled once per call by masked local
+       gather + psum (H*W floats over ICI — tiny) and served locally. Hot
+       ids cost no per-id communication and, crucially, remove the Zipf head
+       from the cold stream so per-shard cold counts concentrate near N/S.
+    2. COLD compact segment: cold ids sort ascending (hot ids sentinel to the
+       end); each shard dynamic-slices the capacity-C window covering its
+       owned segment, gathers C rows locally, and scatter-adds them into the
+       (N, W) output at their original positions; one psum merges shards.
+       C = ceil(N * capacity_frac / S) — per-shard gather/scatter work is
+       C ~ N/S, vs N for the psum baseline.
+    3. OVERFLOW fallback: if any shard's owned segment exceeds C (skew beyond
+       slack), a psum'd scalar triggers lax.cond into the full masked gather
+       for that call — bit-exact correctness always, the compact path's speed
+       whenever capacity holds (the hot cache makes overflow improbable:
+       the cold tail of a frequency-descending id space is near-uniform).
+
+    Backward (via shard_map autodiff): hot grads scatter into the cache
+    cotangent and transpose to local owned-row scatters; cold grads gather
+    the C-row segment cotangent and scatter shard-locally — the sharded
+    scatter-add work is also ~C per shard.
+    """
+    num_shards = mesh.shape[MODEL_AXIS]
+    if num_shards == 1:
+        return jnp.take(table, ids, axis=0)
+    hot = jnp.asarray(np.asarray(hot_rows), jnp.int32)
+    h = int(hot.shape[0])
+    shape = ids.shape
+    flat_spec = P(DATA_AXIS)
+    out_spec = P(DATA_AXIS, None)
+    rtot, w = table.shape
+    assert rtot % num_shards == 0
+
+    def local(tab, fids):
+        s = jax.lax.axis_index(MODEL_AXIS)
+        rps = tab.shape[0]
+        lo = s * rps
+        n = fids.shape[0]
+        cap = min(n, max(8, -(-int(n * capacity_frac) // (8 * num_shards)) * 8))
+        # (1) hot cache
+        lhot = hot - lo
+        own_h = (lhot >= 0) & (lhot < rps)
+        cache = jnp.where(own_h[:, None],
+                          jnp.take(tab, jnp.where(own_h, lhot, 0), axis=0),
+                          0.0)
+        cache = jax.lax.psum(cache, MODEL_AXIS)  # (H, W) replicated
+        hpos = jnp.searchsorted(hot, fids).astype(jnp.int32)
+        is_hot = (hpos < h) & (jnp.take(hot, jnp.minimum(hpos, h - 1)) == fids)
+        hot_out = jnp.take(cache, jnp.minimum(hpos, h - 1), axis=0)
+        # (2) cold compact segment
+        cold = jnp.where(is_hot, rtot, fids)
+        sorted_ids, pos = jax.lax.sort_key_val(
+            cold, jnp.arange(n, dtype=jnp.int32))
+        start = jnp.searchsorted(sorted_ids, lo).astype(jnp.int32)
+        stop = jnp.searchsorted(sorted_ids, lo + rps).astype(jnp.int32)
+        overflow = jnp.maximum(stop - start - cap, 0)
+        total_ovf = jax.lax.psum(overflow, MODEL_AXIS)
+
+        def compact(tab):
+            seg_ids = jax.lax.dynamic_slice_in_dim(sorted_ids, start, cap)
+            seg_pos = jax.lax.dynamic_slice_in_dim(pos, start, cap)
+            valid = (seg_ids >= lo) & (seg_ids < lo + rps)
+            rows = jnp.take(tab, jnp.where(valid, seg_ids - lo, 0), axis=0)
+            rows = jnp.where(valid[:, None], rows, 0.0)
+            return jnp.zeros((n, w), rows.dtype).at[
+                jnp.where(valid, seg_pos, n)].add(rows, mode="drop")
+
+        def full(tab):
+            li = cold - lo
+            own = (li >= 0) & (li < rps)
+            rows = jnp.take(tab, jnp.where(own, li, 0), axis=0)
+            return jnp.where(own[:, None], rows, 0.0)
+
+        cold_partial = jax.lax.cond(total_ovf > 0, full, compact, tab)
+        cold_out = jax.lax.psum(cold_partial, MODEL_AXIS)
+        # (4) merge
+        return jnp.where(is_hot[:, None], hot_out, cold_out)
+
+    out = jax.shard_map(local, mesh=mesh,
+                        in_specs=(P(MODEL_AXIS, None), flat_spec),
+                        out_specs=out_spec)(table, ids.reshape(-1))
+    return out.reshape(shape + (w,))
 
 
 def sharded_embedding_lookup(table: jnp.ndarray, ids: jnp.ndarray,

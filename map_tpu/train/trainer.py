@@ -155,9 +155,11 @@ class Trainer:
         # table_sharding='rows'); XLA inserts the gradient all-reduce over
         # 'data' (replaces the reference's vestigial DDP, SURVEY.md §2.7).
         self.mesh = None
-        from map_tpu.parallel.context import set_table_mesh
+        from map_tpu.parallel.context import (
+            set_table_exchange, set_table_mesh)
 
         set_table_mesh(None)
+        set_table_exchange("psum")
         if jax.device_count() > 1:
             from map_tpu.parallel import sharding as sh
             from map_tpu.parallel.mesh import mesh_from_args
@@ -170,13 +172,18 @@ class Trainer:
             self.state = sh.shard_state(self.state, self.mesh, mode)
             if mode == "rows":
                 # Route table gathers through the explicit shard_map exchange
-                # (local masked gather + psum over 'model'); consulted when the
-                # steps below are first traced.
+                # (consulted when the steps below are first traced).
                 set_table_mesh(self.mesh)
+                exch = str(getattr(self.args, "table_exchange", "psum"))
+                if exch == "hotcold":
+                    set_table_exchange("hotcold", self._build_hot_rows())
                 logger.info(
                     f"table sharding: rows over mesh "
                     f"{dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}; "
-                    f"lookups via shard_map masked-gather+psum")
+                    f"exchange = "
+                    + ("hot-prefix cache + capacity-bounded cold segments"
+                       if exch == "hotcold" else
+                       "shard_map masked-gather+psum"))
 
         if getattr(self.config, "pretrain", False):
             if self.config.pt_type == "MFP":
@@ -209,6 +216,40 @@ class Trainer:
                             if stack_eval else None)
         self._t_total, self._t_warmup = t_total, t_warmup
         self._maybe_resume()
+
+    def _build_hot_rows(self) -> dict:
+        """Static hot physical-row lists for the 'hotcold' exchange, keyed by
+        table physical row count: the first hot_rows_per_field logical ids of
+        every field block (the preprocessing orders in-field ids frequency-
+        DESCENDING, ref proc_avazu.py:248-251 Counter.most_common) plus the
+        reserved block (the <mask> id is the hottest id of an MFP stream).
+        One list per distinct table width (input embed, MFP decoder, 1-wide
+        bias/LR tables); tables sharing a physical row count share geometry
+        and therefore a list."""
+        from map_tpu.ops.packed_table import pack_factor, packed_shape
+
+        cfg = self.config
+        if getattr(cfg, "idx_low", None) is None:
+            return {}
+        lo_a = np.asarray(cfg.idx_low, np.int64)
+        hi_a = np.asarray(cfg.idx_high, np.int64)
+        r = int(getattr(self.args, "hot_rows_per_field", 512))
+        v = int(cfg.input_size)
+        packed = bool(getattr(cfg, "packed_tables", False))
+        widths = [int(cfg.embed_size), 1]  # input table; bias / LR tables
+        if getattr(cfg, "pretrain", False) and cfg.pt_type == "MFP":
+            widths.append(int(cfg.proj_size))
+        out = {}
+        for e in widths:
+            p = pack_factor(e) if packed else 1
+            nrows = packed_shape(v, e)[0] if packed else v
+            hots = [np.arange(0, (10 - 1) // p + 1)]  # reserved ids 0..9
+            for lo, hi in zip(lo_a, hi_a):
+                stop = min(lo + r, hi)
+                if stop > lo:
+                    hots.append(np.arange(lo // p, (stop - 1) // p + 1))
+            out[int(nrows)] = np.unique(np.concatenate(hots)).astype(np.int32)
+        return out
 
     def _rebuild_streaming_eval(self, new_bins: int) -> None:
         """Rebuild the supervised eval step with a finer streaming histogram

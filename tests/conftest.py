@@ -28,6 +28,20 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 
+@pytest.fixture(autouse=True)
+def _reset_table_context():
+    """The table-sharding context is process-global and consulted at trace
+    time; an e2e test that ends mid-mesh (run.main leaves it set) must not
+    leak shard_map routing into the next test's traces."""
+    from map_tpu.parallel.context import set_table_exchange, set_table_mesh
+
+    set_table_mesh(None)
+    set_table_exchange("psum")
+    yield
+    set_table_mesh(None)
+    set_table_exchange("psum")
+
+
 @pytest.fixture(scope="session")
 def synth_dir(tmp_path_factory):
     from map_tpu.data import synth
