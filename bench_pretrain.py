@@ -89,15 +89,21 @@ def field_blocked_batch(rng, b, idx_low, idx_high):
     }
 
 
-def timeit(step, state, batch, warmup=5, iters=30):
+def timeit(step, state, batch, warmup=5, iters=30, trials=5):
+    """Best-of-trials (bench.py discipline): the tunnel has hours-scale speed
+    phases and the noise is one-sided — a drained window can't beat true
+    device speed — so the minimum is the honest per-chip number."""
     for _ in range(warmup):
         state, m = step(state, batch)
     float(m["loss"])  # host fetch = the only reliable barrier on the tunnel
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, batch)
-    float(m["loss"])
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, batch)
+        float(m["loss"])
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def bench_mfp(per_field_shared: bool):

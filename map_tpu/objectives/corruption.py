@@ -56,12 +56,20 @@ def _scatter_rows(input_ids: jnp.ndarray, masked_index: jnp.ndarray,
 def mfp_corrupt(key: jax.Array, input_ids: jnp.ndarray, mask_num: int,
                 sampling_method: str, mask_id: int = 3
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (corrupted_ids, labels (B,M) original ids, masked_index (B,M))."""
+    """Returns (corrupted_ids, labels (B,M) original ids, masked_index (B,M)).
+
+    The mask write is a one-hot reduce + where (pure VPU work), not a
+    row scatter: per-row dynamic scatters are per-row priced on TPU and the
+    (B, M) scatter cost ~0.3 ms of the measured 0.58 ms corrupt total at the
+    canonical config (benchmarks/bench_pf_parts.py). Duplicate positions
+    (randint mode) write the same mask_id, so the max-reduce is exact."""
     b, f = input_ids.shape
     masked_index = sample_masked_index(key, b, f, mask_num, sampling_method)
     labels = jnp.take_along_axis(input_ids, masked_index, axis=1)
-    corrupted = _scatter_rows(input_ids, masked_index,
-                              jnp.full((b, mask_num), mask_id, input_ids.dtype))
+    onehot = jax.nn.one_hot(masked_index, f, dtype=jnp.float32)  # (B, M, F)
+    is_masked = jnp.max(onehot, axis=1) > 0                      # (B, F)
+    corrupted = jnp.where(is_masked,
+                          jnp.asarray(mask_id, input_ids.dtype), input_ids)
     return corrupted, labels, masked_index
 
 

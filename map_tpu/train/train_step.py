@@ -279,6 +279,11 @@ def make_mfp_steps(model, config, args, tx, base_rng,
     if per_field is not None:
         pf_prob, pf_alias, pf_lo, pf_sizes, pf_lnz = (jnp.asarray(x)
                                                       for x in per_field)
+        # per-position lnZ = log(field size): a (F,)-table gather by masked
+        # field, NOT the (V,)-table gather by target id (identical values —
+        # alias.build_per_field_alias sets lnz[i] = log(size of field(i)) —
+        # but 1-wide gathers from a 1M-row source are per-row priced)
+        pf_logsize = jnp.log(pf_sizes.astype(jnp.float32))
         norm_term = None  # per-position, derived from the target's field
     else:
         norm_term = float(config.norm_term)
@@ -300,10 +305,14 @@ def make_mfp_steps(model, config, args, tx, base_rng,
                                     axis=-1)
         return corrupted, masked_index, candidates, cand_logq
 
-    def _loss_from_logits(cand_logits, candidates, noise_logprobs, weight):
+    def _loss_from_logits(cand_logits, candidates, noise_logprobs, weight,
+                          fields=None):
         if per_field is not None:
             # per-position lnZ = log(field size) of the target's field
-            norm = jnp.take(pf_lnz, candidates[:, :, 0])[..., None]
+            if fields is not None:
+                norm = jnp.take(pf_logsize, fields)[..., None]
+            else:
+                norm = jnp.take(pf_lnz, candidates[:, :, 0])[..., None]
         else:
             norm = norm_term
         if loss_type == "nce":
@@ -417,7 +426,8 @@ def make_mfp_steps(model, config, args, tx, base_rng,
         candidates = jnp.concatenate(
             [labels[..., None],
              jnp.zeros((labels.shape[0], mask_num, k), jnp.int32)], axis=-1)
-        loss = _loss_from_logits(logits, candidates, cand_logq, batch["weight"])
+        loss = _loss_from_logits(logits, candidates, cand_logq,
+                                 batch["weight"], fields=masked_index)
         acc_count = mfp_accuracy_count(logits, batch["weight"])
         return loss, acc_count, new_bs
 
@@ -462,7 +472,7 @@ def make_mfp_steps(model, config, args, tx, base_rng,
                 model, state, params, corrupted, k_drop,
                 masked_index=masked_index, candidates=candidates)
             loss = _loss_from_logits(cand_logits, candidates, cand_logq,
-                                     batch["weight"])
+                                     batch["weight"], fields=masked_index)
             return loss, (cand_logits, new_bs)
 
         (loss, (cand_logits, new_bs)), grads = jax.value_and_grad(
@@ -494,7 +504,7 @@ def make_mfp_steps(model, config, args, tx, base_rng,
         cand_logits = _apply_eval(model, variables, corrupted,
                                   masked_index=masked_index, candidates=candidates)
         loss = _loss_from_logits(cand_logits, candidates, cand_logq,
-                                 batch["weight"])
+                                 batch["weight"], fields=masked_index)
         acc_count = mfp_accuracy_count(cand_logits, batch["weight"])
         count = batch["weight"].sum() * mask_num
         return {"loss": loss, "count": count, "acc_count": acc_count}

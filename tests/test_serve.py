@@ -44,6 +44,13 @@ def test_predictor_roundtrip(tmp_path, synth_dir):
     auc = roc_auc(ds.Y["test"], probs)
     assert auc > 0.55
 
+    # byte-packed transfer (v2) must score identically to raw int32 ids
+    assert pred._groups is not None  # synth config carries idx ranges
+    pred_raw = Predictor(str(out), step, batch_size=300,
+                         compress_transfer=False)
+    np.testing.assert_allclose(pred_raw.predict_proba(ds.X["test"]), probs,
+                               atol=1e-7)
+
     # CLI round trip
     out_npy = tmp_path / "scores.npy"
     rc = serve_main(["--model_dir", str(out), "--step", str(step),
