@@ -46,6 +46,15 @@ class CTRModel(nn.Module):
         else:
             raise NotImplementedError(c.pt_type)
 
+    @staticmethod
+    def _select_masked(enc, masked_index):
+        """(B, F, P) x (B, M) -> (B, M, P): masked-field selection as a
+        one-hot einsum. take_along_axis costs a per-row-priced gather forward
+        and a scatter backward; the one-hot contraction is dense MXU/VPU work
+        and bit-exact (0/1 weights, one nonzero term per output)."""
+        onehot = jax.nn.one_hot(masked_index, enc.shape[1], dtype=enc.dtype)
+        return jnp.einsum("bfp,bmf->bmp", enc, onehot)
+
     def mfp_candidate_logits(self, final_vec: jnp.ndarray,
                              masked_index: jnp.ndarray,
                              candidates: jnp.ndarray) -> jnp.ndarray:
@@ -57,7 +66,7 @@ class CTRModel(nn.Module):
         c = self.config
         b = final_vec.shape[0]
         enc = self.feat_encoder(final_vec).reshape(b, c.num_fields, c.proj_size)
-        selected = jnp.take_along_axis(enc, masked_index[..., None], axis=1)
+        selected = self._select_masked(enc, masked_index)
         return self.mfp_decoder(selected, candidates)
 
     def mfp_shared_noise_logits(self, input_ids: jnp.ndarray,
@@ -71,7 +80,7 @@ class CTRModel(nn.Module):
         final_vec = self.backbone(input_ids, train)
         b = final_vec.shape[0]
         enc = self.feat_encoder(final_vec).reshape(b, c.num_fields, c.proj_size)
-        selected = jnp.take_along_axis(enc, masked_index[..., None], axis=1)
+        selected = self._select_masked(enc, masked_index)
         return self.mfp_decoder.shared_noise_logits(selected, target_idx, noise_idx)
 
     def mfp_per_field_shared_logits(self, input_ids: jnp.ndarray,
@@ -87,7 +96,7 @@ class CTRModel(nn.Module):
         final_vec = self.backbone(input_ids, train)
         b = final_vec.shape[0]
         enc = self.feat_encoder(final_vec).reshape(b, c.num_fields, c.proj_size)
-        selected = jnp.take_along_axis(enc, masked_index[..., None], axis=1)
+        selected = self._select_masked(enc, masked_index)
         return self.mfp_decoder.per_field_shared_noise_logits(
             selected, target_idx, masked_index, noise_f)
 
@@ -101,7 +110,7 @@ class CTRModel(nn.Module):
         final_vec = self.backbone(input_ids, train)
         b = final_vec.shape[0]
         enc = self.feat_encoder(final_vec).reshape(b, c.num_fields, c.proj_size)
-        selected = jnp.take_along_axis(enc, masked_index[..., None], axis=1)
+        selected = self._select_masked(enc, masked_index)
         return self.mfp_decoder.full_scores(selected)
 
     def rfd_field_logits(self, final_vec: jnp.ndarray) -> jnp.ndarray:

@@ -92,9 +92,13 @@ def rfd_corrupt(
 
     if rfd_replace == "Unigram":
         assert noise_rows is not None and noise_rows.shape[0] == b * mask_num
-        # value of the SAME field from a random training row (trainer.py:234-240)
-        replace_feat = jnp.take_along_axis(
-            noise_rows, flat_pos[:, None], axis=1).reshape(b, mask_num)
+        # value of the SAME field from a random training row
+        # (trainer.py:234-240) — one-hot dot instead of a per-row-priced
+        # take_along_axis; exact while ids < 2^24 (f32 integers)
+        oh = jax.nn.one_hot(flat_pos, f, dtype=jnp.float32)
+        replace_feat = jnp.einsum(
+            "nf,nf->n", noise_rows.astype(jnp.float32), oh
+        ).astype(input_ids.dtype).reshape(b, mask_num)
     elif rfd_replace == "Uniform":
         # per-field uniform over the field's id block (trainer.py:241-246)
         assert idx_low is not None and idx_high is not None
@@ -111,12 +115,24 @@ def rfd_corrupt(
         # random row AND random field (trainer.py:253-260)
         assert noise_rows is not None and noise_rows.shape[0] == b * mask_num
         rand_field = jax.random.randint(k_rep, (b * mask_num,), 0, f)
-        replace_feat = jnp.take_along_axis(
-            noise_rows, rand_field[:, None], axis=1).reshape(b, mask_num)
+        oh = jax.nn.one_hot(rand_field, f, dtype=jnp.float32)
+        replace_feat = jnp.einsum(
+            "nf,nf->n", noise_rows.astype(jnp.float32), oh
+        ).astype(input_ids.dtype).reshape(b, mask_num)
     else:
         raise NotImplementedError(rfd_replace)
 
-    corrupted = _scatter_rows(input_ids, masked_index,
-                              replace_feat.astype(input_ids.dtype))
+    # Scatter-free value placement (per-row scatters are per-row priced):
+    # one-hot of the masked positions, keeping only each field's LAST masked
+    # occurrence so duplicate positions (randint mode) resolve to an exact
+    # deterministic last-wins — the reference's scatter_ leaves collision
+    # order unspecified, so this is within its contract and self-consistent.
+    onehot = jax.nn.one_hot(masked_index, f, dtype=jnp.float32)  # (B, M, F)
+    occ_after = jnp.cumsum(onehot[:, ::-1, :], axis=1)[:, ::-1, :]
+    is_last = onehot * (occ_after == 1.0)
+    hit = jnp.max(onehot, axis=1) > 0                            # (B, F)
+    vals = jnp.einsum("bm,bmf->bf",
+                      replace_feat.astype(jnp.float32), is_last)
+    corrupted = jnp.where(hit, vals.astype(input_ids.dtype), input_ids)
     labels = (input_ids != corrupted).astype(jnp.float32)
     return corrupted, labels
