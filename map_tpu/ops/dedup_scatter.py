@@ -542,13 +542,15 @@ def _dsp_bwd(embed_size, vocab, resid, g):
     c = g.shape[-1]
     d_h = jnp.einsum("bmc,bmce->bme", g, rows)
     pos_sorted = order // c                                # elementwise
-    # d_score in sorted order: plain 1-wide permute. (A C-lane row gather
-    # from the small (B*M, C) source + VPU lane-select was tried — the
-    # standalone parts numbers favored it, but in-step it REGRESSED
-    # 47.2 -> 58.5 ms: the (n, 26) gather output lane-pads to 128, so the
-    # barrier materializes a 381 MB intermediate. 26 lanes only looks small.)
+    # d_score in sorted order via a stable RE-SORT of (ids, cotangent):
+    # jax.lax.sort is stable, so this reproduces the forward's permutation
+    # exactly, and a 745k sort_key_val costs ~3.3 ms where the 1-wide
+    # permute jnp.take(gflat, order) costs ~7.9 (per-row priced;
+    # benchmarks/bench_mfp_parts.py). A C-lane row gather + lane-select was
+    # also tried earlier and REGRESSED in-step (lane padding, 381 MB
+    # intermediate) — the re-sort keeps everything 1-lane.
     gflat = g.reshape(-1).astype(jnp.float32)
-    d_score_sorted = jnp.take(gflat, order)
+    _, d_score_sorted = jax.lax.sort_key_val(res[0], gflat)
     h2 = inputs.reshape(-1, inputs.shape[-1]).astype(jnp.float32)
     h_sorted = jnp.take(h2, pos_sorted, axis=0)            # small-source take
     gr_s = h_sorted * d_score_sorted[:, None]
