@@ -68,8 +68,13 @@ def main(steps_per_call=8, rows=3_000_000, batch=4096):
     trainer._build_steps(len(batcher))
 
     # driving the stream manually (not via _epochs_with_skip): mirror its
-    # resident-mode flag so index batches pair with the resident steps
+    # resident-mode flags so batches pair with the resident steps (stream
+    # v2: scalar-start batches + device-resident epoch permutation)
     batcher.emit_indices = trainer._data_ref is not None
+    batcher.emit_start_only = (trainer._data_ref is not None
+                               and trainer._stream_v2)
+    if batcher.emit_start_only:
+        trainer._ensure_epoch_perm(0, batcher)
     stream = trainer._train_stream(batcher.epoch(0))
     # warmup: compile both multi and single-step programs
     n, dev, _ = next(stream)

@@ -68,6 +68,10 @@ class Batcher:
         # stream (shuffle order, noise draws) is consumed identically, so
         # resume fast-forward and 1-vs-N-process equality are unaffected.
         self.emit_indices = False
+        # Stream v2 (trainer sets with emit_indices): the epoch's shuffled
+        # order is device-resident, so emit only the batch NUMBER — the step
+        # dynamic-slices the resident permutation (train_step._resident_batch)
+        self.emit_start_only = False
 
     @property
     def local_batch_size(self) -> int:
@@ -143,8 +147,11 @@ class Batcher:
                 # AUC) but are NOT transferred — the step regathers labels
                 # from the resident y and rebuilds weight from real_count
                 # (trainer._put device-key filter / _resident_batch)
-                batch["index"] = lidx.astype(np.int32)
                 batch["real_count"] = np.int32(real)
+                if self.emit_start_only:
+                    batch["start"] = np.int32(b)
+                else:
+                    batch["index"] = lidx.astype(np.int32)
             else:
                 batch["input_ids"] = native.gather_rows_i32(x, lidx)
             if self.noise_rows_per_example > 0:

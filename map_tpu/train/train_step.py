@@ -50,7 +50,7 @@ def make_multi_step(step_fn, num_steps: int):
     return jax.jit(multi, donate_argnums=(0,))
 
 
-def _resident_batch(batch, data):
+def _resident_batch(batch, data, batch_size=None):
     """Rebuild the full step batch from an index batch + the HBM-resident
     train data: `input_ids = x[index]`, `labels = y[index]` (and RFD
     `noise_rows = x[noise_index]`) gathered ON DEVICE; the padding-mask
@@ -59,11 +59,24 @@ def _resident_batch(batch, data):
     ~2.7 MB RFD noise rows at the canonical config) to the index vector
     (~16 KB) — decisive on high-latency / low-bandwidth links like the axon
     tunnel, where the id-block transfer gated the e2e trainer at ~46% of the
-    device step (PERFORMANCE.md round 3)."""
+    device step (PERFORMANCE.md round 3).
+
+    Stream v2 (round 4): when the EPOCH's shuffled order is itself device-
+    resident (data["perm"], uploaded once per epoch — trainer
+    _ensure_epoch_perm), the batch carries only a scalar batch number and
+    the index block is a dynamic_slice of the resident permutation: the
+    per-step transfer drops to a few scalars. Same host-computed
+    permutation, so the stream is bit-identical to the index/host
+    pipelines."""
     full = {k: v for k, v in batch.items()
             if k not in ("index", "noise_index", "real_count",
-                         "labels", "weight")}
-    idx = batch["index"]
+                         "labels", "weight", "start")}
+    if "start" in batch:
+        assert batch_size is not None
+        idx = jax.lax.dynamic_slice(
+            data["perm"], (batch["start"] * batch_size,), (batch_size,))
+    else:
+        idx = batch["index"]
     full["input_ids"] = jnp.take(data["x"], idx, axis=0)
     full["labels"] = jnp.take(data["y"], idx)
     # global positions >= real_count are padding (loader.py pads with row 0)
@@ -74,23 +87,24 @@ def _resident_batch(batch, data):
     return full
 
 
-def make_resident_step(step_fn):
+def make_resident_step(step_fn, batch_size=None):
     """(state, index_batch, data) version of a train step; `data` holds the
-    device-resident train matrix {"x": (N, F) int32} and is NOT donated."""
+    device-resident train matrix {"x": (N, F) int32} and is NOT donated.
+    batch_size: static, required for the stream-v2 scalar-start batches."""
 
     def step(state, batch, data):
-        return step_fn(state, _resident_batch(batch, data))
+        return step_fn(state, _resident_batch(batch, data, batch_size))
 
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_resident_multi_step(step_fn, num_steps: int):
+def make_resident_multi_step(step_fn, num_steps: int, batch_size=None):
     """Resident-data twin of make_multi_step (scan over stacked index
     batches)."""
 
     def multi(state, stacked_batch, data):
         def body(s, b):
-            return step_fn(s, _resident_batch(b, data))
+            return step_fn(s, _resident_batch(b, data, batch_size))
 
         return jax.lax.scan(body, state, stacked_batch)
 

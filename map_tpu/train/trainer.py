@@ -308,13 +308,29 @@ class Trainer:
             xdev = jax.device_put(x)
             ydev = jax.device_put(y)
         self._data_ref = {"x": xdev, "y": ydev}
-        self._resident_step = ts.make_resident_step(self._train_step)
+        # Stream v2 (round 4): single-process, un-meshed, no noise side
+        # channel — the epoch's shuffled order ALSO lives in HBM (uploaded
+        # once per epoch, _ensure_epoch_perm) and each step ships only a
+        # scalar batch number; the step dynamic-slices the resident
+        # permutation. Same host-computed permutation, so the stream stays
+        # bit-identical to the index/host pipelines.
+        from map_tpu.parallel.mesh import data_parallel_size
+
+        bs = (self.args.per_device_train_batch_size
+              * max(1, data_parallel_size(self.args)))
+        self._stream_v2 = (jax.process_count() == 1 and self.mesh is None
+                          and self._noise_rows_per_example() == 0)
+        self._perm_epoch = -1
+        self._resident_step = ts.make_resident_step(self._train_step,
+                                                    batch_size=bs)
         if self._steps_per_call > 1:
             self._resident_multi = ts.make_resident_multi_step(
-                self._train_step, self._steps_per_call)
+                self._train_step, self._steps_per_call, batch_size=bs)
         logger.info(f"device-resident data: on "
                     f"({x.nbytes/1e9:.2f} GB train matrix in HBM; "
-                    f"per-step transfer = indices only)")
+                    f"per-step transfer = "
+                    + ("batch number only (resident epoch permutation)"
+                       if self._stream_v2 else "indices only)"))
 
     # ------------------------------------------------------------------
     # input streaming: async host->device prefetch + multi-step stacking
@@ -327,7 +343,7 @@ class Trainer:
         (loader.py process sharding); jax.make_array_from_process_local_data
         assembles the global sharded array without any cross-host transfer
         (process blocks land on that process's devices)."""
-        if "index" in batch:
+        if "index" in batch or "start" in batch:
             # resident mode: labels/weight stay host-side (window logging);
             # the step regathers them from the resident y / real_count
             batch = {k: v for k, v in batch.items()
@@ -460,7 +476,8 @@ class Trainer:
     def _run_train_step(self, n, dev_batch):
         # key off the batch form, not just the flag: a stream driven outside
         # _epochs_with_skip may still emit gathered id rows
-        if self._data_ref is not None and "index" in dev_batch:
+        if self._data_ref is not None and (
+                "index" in dev_batch or "start" in dev_batch):
             if n > 1:
                 self.state, metrics = self._resident_multi(
                     self.state, dev_batch, self._data_ref)
@@ -541,6 +558,23 @@ class Trainer:
                  "patience": self._patience,
                  "eval_metrics": self.eval_metrics})
 
+    def _ensure_epoch_perm(self, epoch: int, batcher) -> None:
+        """Stream v2: upload this epoch's (padded) shuffled order to HBM —
+        EXACTLY the loader's order (same seeded rng), so the index stream is
+        bit-identical; per-step transfer shrinks to a scalar batch number."""
+        if self._perm_epoch == epoch:
+            return
+        n = batcher.num_examples()
+        rng = np.random.default_rng(
+            np.random.SeedSequence([batcher.seed, epoch]))
+        order = rng.permutation(n) if batcher.shuffle else np.arange(n)
+        total = len(batcher) * batcher.batch_size
+        if total > n:  # final-batch padding rows (weight 0) use row 0
+            order = np.concatenate(
+                [order, np.zeros(total - n, order.dtype)])
+        self._data_ref["perm"] = jax.device_put(order.astype(np.int32))
+        self._perm_epoch = epoch
+
     def _epochs_with_skip(self, batcher):
         """Yield (epoch, batch_iter); on resume, fast-forwards past consumed
         epochs/batches (the shuffled order is seeded per epoch, so skipping
@@ -549,6 +583,8 @@ class Trainer:
         # device-resident (_setup_resident_data); eval batchers never route
         # through here and keep the host-gather pipeline
         batcher.emit_indices = self._data_ref is not None
+        batcher.emit_start_only = (self._data_ref is not None
+                                   and self._stream_v2)
         # the train batcher is created BEFORE the mesh exists (_build_steps
         # needs its length); re-resolve the mesh-aware loader sharding now
         batcher.row_shard = self._row_shard()
@@ -556,6 +592,8 @@ class Trainer:
         start_epoch = self.global_step // per_epoch
         skip = self.global_step % per_epoch
         for epoch in range(start_epoch, self.args.num_train_epochs):
+            if batcher.emit_start_only:
+                self._ensure_epoch_perm(epoch, batcher)
             # start_batch fast-forwards in O(1) gather work (loader.py)
             yield epoch, batcher.epoch(
                 epoch, start_batch=skip if epoch == start_epoch else 0)
