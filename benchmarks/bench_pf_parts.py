@@ -125,7 +125,32 @@ def pf_loss_fns(env):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        if sg is not None:
+        if sg == "noise_gather":
+            # A/B: noise scores via a (24,)-source row gather of each
+            # position's field noise set, instead of the dense all-fields
+            # bmfk einsum + one-hot select
+            def ng_scoring(mdl, input_ids, masked_index, target_idx, nf,
+                           train=True):
+                c = mdl.config
+                final_vec = mdl.backbone(input_ids, True)
+                b_ = final_vec.shape[0]
+                enc = mdl.feat_encoder(final_vec).reshape(
+                    b_, c.num_fields, c.proj_size)
+                sel = mdl._select_masked(enc, masked_index)
+                ts_ = mdl.mfp_decoder._target_scores(sel, target_idx)
+                n_flat, nb_flat = mdl.mfp_decoder._lookup_rows(nf.reshape(-1))
+                f_, k_ = nf.shape
+                n_rows = n_flat.reshape(f_, k_, -1)
+                n_bias = nb_flat.reshape(f_, k_)
+                nr = jnp.take(n_rows, masked_index, axis=0)   # (B,M,k,E)
+                nb = jnp.take(n_bias, masked_index, axis=0)   # (B,M,k)
+                ns = jnp.einsum("bme,bmke->bmk", sel, nr) + nb
+                return jnp.concatenate([ts_[..., None], ns], axis=-1)
+
+            logits = model.apply(
+                variables, corrupted, masked_index, labels, noise_f,
+                method=ng_scoring, train=True, rngs={"dropout": k_drop})
+        elif sg is not None:
             # stop-gradient ablations: mirror per_field_shared_noise_logits
             # with either the decoder lookups ('decoder') or the tower
             # ('tower') cut out of the backward
@@ -291,6 +316,11 @@ def main():
         results["target_only"] = timeit(make_step(noise_scoring=False),
                                         fresh_state(), batch)
         print(f"target_only   {results['target_only']*1e3:7.2f} ms", flush=True)
+
+    if "noise_gather" in which:
+        results["noise_gather"] = timeit(make_step(sg="noise_gather"),
+                                         fresh_state(), batch)
+        print(f"noise_gather  {results['noise_gather']*1e3:7.2f} ms", flush=True)
 
     if "sg_decoder" in which:
         results["sg_decoder"] = timeit(make_step(sg="decoder"),
