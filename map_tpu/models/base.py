@@ -53,7 +53,11 @@ class CTRModel(nn.Module):
         and a scatter backward; the one-hot contraction is dense MXU/VPU work
         and bit-exact (0/1 weights, one nonzero term per output)."""
         onehot = jax.nn.one_hot(masked_index, enc.shape[1], dtype=enc.dtype)
-        return jnp.einsum("bfp,bmf->bmp", enc, onehot)
+        # Precision pinned: at TPU default matmul precision an f32 enc would
+        # silently truncate to bf16 passes; HIGHEST is exact for both bf16
+        # and f32 enc (0/1 weights) at negligible cost for these shapes.
+        return jnp.einsum("bfp,bmf->bmp", enc, onehot,
+                          precision=jax.lax.Precision.HIGHEST)
 
     def mfp_candidate_logits(self, final_vec: jnp.ndarray,
                              masked_index: jnp.ndarray,

@@ -90,15 +90,29 @@ def rfd_corrupt(
     masked_index = sample_masked_index(k_idx, b, f, mask_num, sampling_method)
     flat_pos = masked_index.reshape(-1)  # (B*M,)
 
+    # The one-hot id dots below are exact only while ids fit an f32 mantissa
+    # (< 2^24) AND the matmul actually runs in f32: TPU default matmul
+    # precision may execute f32 dot_general via bf16 passes, rounding ids
+    # >= 256 — so every id einsum pins Precision.HIGHEST. Above 2^24
+    # (full-Criteo-scale vocabularies) fall back to the integer gather/
+    # scatter path, which is exact at any width.
+    ids_fit_f32 = int(input_size) < 2 ** 24
+
     if rfd_replace == "Unigram":
         assert noise_rows is not None and noise_rows.shape[0] == b * mask_num
         # value of the SAME field from a random training row
         # (trainer.py:234-240) — one-hot dot instead of a per-row-priced
         # take_along_axis; exact while ids < 2^24 (f32 integers)
-        oh = jax.nn.one_hot(flat_pos, f, dtype=jnp.float32)
-        replace_feat = jnp.einsum(
-            "nf,nf->n", noise_rows.astype(jnp.float32), oh
-        ).astype(input_ids.dtype).reshape(b, mask_num)
+        if ids_fit_f32:
+            oh = jax.nn.one_hot(flat_pos, f, dtype=jnp.float32)
+            replace_feat = jnp.einsum(
+                "nf,nf->n", noise_rows.astype(jnp.float32), oh,
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(input_ids.dtype).reshape(b, mask_num)
+        else:
+            replace_feat = jnp.take_along_axis(
+                noise_rows, flat_pos[:, None], axis=1)[:, 0].reshape(
+                    b, mask_num).astype(input_ids.dtype)
     elif rfd_replace == "Uniform":
         # per-field uniform over the field's id block (trainer.py:241-246)
         assert idx_low is not None and idx_high is not None
@@ -115,10 +129,16 @@ def rfd_corrupt(
         # random row AND random field (trainer.py:253-260)
         assert noise_rows is not None and noise_rows.shape[0] == b * mask_num
         rand_field = jax.random.randint(k_rep, (b * mask_num,), 0, f)
-        oh = jax.nn.one_hot(rand_field, f, dtype=jnp.float32)
-        replace_feat = jnp.einsum(
-            "nf,nf->n", noise_rows.astype(jnp.float32), oh
-        ).astype(input_ids.dtype).reshape(b, mask_num)
+        if ids_fit_f32:
+            oh = jax.nn.one_hot(rand_field, f, dtype=jnp.float32)
+            replace_feat = jnp.einsum(
+                "nf,nf->n", noise_rows.astype(jnp.float32), oh,
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(input_ids.dtype).reshape(b, mask_num)
+        else:
+            replace_feat = jnp.take_along_axis(
+                noise_rows, rand_field[:, None], axis=1)[:, 0].reshape(
+                    b, mask_num).astype(input_ids.dtype)
     else:
         raise NotImplementedError(rfd_replace)
 
@@ -127,12 +147,19 @@ def rfd_corrupt(
     # occurrence so duplicate positions (randint mode) resolve to an exact
     # deterministic last-wins — the reference's scatter_ leaves collision
     # order unspecified, so this is within its contract and self-consistent.
-    onehot = jax.nn.one_hot(masked_index, f, dtype=jnp.float32)  # (B, M, F)
-    occ_after = jnp.cumsum(onehot[:, ::-1, :], axis=1)[:, ::-1, :]
-    is_last = onehot * (occ_after == 1.0)
-    hit = jnp.max(onehot, axis=1) > 0                            # (B, F)
-    vals = jnp.einsum("bm,bmf->bf",
-                      replace_feat.astype(jnp.float32), is_last)
-    corrupted = jnp.where(hit, vals.astype(input_ids.dtype), input_ids)
+    if ids_fit_f32:
+        onehot = jax.nn.one_hot(masked_index, f, dtype=jnp.float32)  # (B,M,F)
+        occ_after = jnp.cumsum(onehot[:, ::-1, :], axis=1)[:, ::-1, :]
+        is_last = onehot * (occ_after == 1.0)
+        hit = jnp.max(onehot, axis=1) > 0                            # (B, F)
+        vals = jnp.einsum("bm,bmf->bf",
+                          replace_feat.astype(jnp.float32), is_last,
+                          precision=jax.lax.Precision.HIGHEST)
+        corrupted = jnp.where(hit, vals.astype(input_ids.dtype), input_ids)
+    else:
+        # Integer scatter: .at[].set applies updates in order, so the last
+        # masked occurrence wins — the same last-wins contract as above.
+        corrupted = _scatter_rows(input_ids, masked_index,
+                                  replace_feat.astype(input_ids.dtype))
     labels = (input_ids != corrupted).astype(jnp.float32)
     return corrupted, labels

@@ -175,6 +175,10 @@ class Trainer:
                 # (consulted when the steps below are first traced).
                 set_table_mesh(self.mesh)
                 exch = str(getattr(self.args, "table_exchange", "psum"))
+                if exch not in ("psum", "hotcold"):
+                    raise ValueError(
+                        f"table_exchange={exch!r} — valid: 'psum', 'hotcold' "
+                        "(a typo here must not silently fall back to psum)")
                 if exch == "hotcold":
                     set_table_exchange("hotcold", self._build_hot_rows())
                 logger.info(
@@ -226,6 +230,7 @@ class Trainer:
         One list per distinct table width (input embed, MFP decoder, 1-wide
         bias/LR tables); tables sharing a physical row count share geometry
         and therefore a list."""
+        from map_tpu.data.artifacts import NUM_RESERVED
         from map_tpu.ops.packed_table import pack_factor, packed_shape
 
         cfg = self.config
@@ -243,7 +248,7 @@ class Trainer:
         for e in widths:
             p = pack_factor(e) if packed else 1
             nrows = packed_shape(v, e)[0] if packed else v
-            hots = [np.arange(0, (10 - 1) // p + 1)]  # reserved ids 0..9
+            hots = [np.arange(0, (NUM_RESERVED - 1) // p + 1)]  # reserved ids
             for lo, hi in zip(lo_a, hi_a):
                 stop = min(lo + r, hi)
                 if stop > lo:
@@ -675,7 +680,13 @@ class Trainer:
                             "window_loss": float(losses.mean()),
                             "examples_per_sec": round(w.sum() / max(dt, 1e-9)),
                             "time_cost": round(dt, 3)}
-                    logger.info(f"step = {self.global_step}, {_log}")
+                    # Multi-host: window metrics cover THIS process's data
+                    # shard only — say so in the line, or an operator reads a
+                    # process_count x "slowdown" into a 1-vs-N comparison.
+                    shard = (f" [shard-local metrics, 1 of "
+                             f"{jax.process_count()} processes]"
+                             if jax.process_count() > 1 else "")
+                    logger.info(f"step = {self.global_step}, {_log}{shard}")
                     tr_loss_window, tr_labels, tr_probs, tr_weights = [], [], [], []
                     window_t0 = time.time()
 

@@ -91,7 +91,8 @@ def train_main() -> int:
         per_device_train_batch_size=32, per_device_eval_batch_size=64,
         learning_rate=1e-3, weight_decay=0.1, lr_sched="const",
         warmup_ratio=0.0, max_grad_norm=0.0, num_train_epochs=1,
-        logging_steps=1000, seed=42, steps_per_call=4,
+        logging_steps=(5 if objective == "sup" else 1000), seed=42,
+        steps_per_call=4,
         exact_eval_allgather=(eval_mode == "exact"), **extra)
     margs = ModelArguments(model_name="dnn", embed_size=8, hidden_size=32,
                            num_hidden_layers=2, hidden_dropout_rate=0.0,
@@ -105,7 +106,27 @@ def train_main() -> int:
         loss, acc = trainer.eval_metrics[-1]
         print(f"TRAIN_OK {loss:.10f} mfp {acc:.10f}", flush=True)
         return 0
+    # VERDICT round-4 item 10: window logs must carry the shard-local label
+    # under multi-host (they cover this process's shard only).
+    import logging
+
+    records = []
+
+    class _Cap(logging.Handler):
+        def emit(self, rec):
+            records.append(rec.getMessage())
+
+    _tl = logging.getLogger("map_tpu.train.trainer")
+    _tl.setLevel(logging.INFO)
+    _tl.addHandler(_Cap())
     trainer.train()
+    windows = [m for m in records if "window_auc" in m]
+    if nprocs > 1 and objective == "sup":
+        assert windows, "no window log fired (logging_steps too large?)"
+        assert all(f"[shard-local metrics, 1 of {nprocs} processes]" in m
+                   for m in windows), windows[:2]
+    else:
+        assert all("shard-local" not in m for m in windows), windows[:2]
     auc = trainer.eval_metrics[-1][0]
     used = "stream" if trainer._streaming_bins > 0 else "exact"
     print(f"TRAIN_OK {auc:.10f} {used}", flush=True)
