@@ -105,7 +105,8 @@ def sharded_rows_scatter_add(phys_ids: jnp.ndarray, vals: jnp.ndarray,
 
 def hotcold_embedding_lookup(table: jnp.ndarray, ids: jnp.ndarray,
                              mesh: Mesh, hot_rows,
-                             capacity_frac: float = 1.5) -> jnp.ndarray:
+                             capacity_frac: float = 1.5,
+                             with_stats: bool = False):
     """Work-REDUCING row-sharded exchange (SURVEY §2.7 consequence (1), the
     all-to-all-class upgrade over the psum baseline): per-chip gather work
     shrinks ~1/S with shard count S instead of staying constant.
@@ -136,6 +137,13 @@ def hotcold_embedding_lookup(table: jnp.ndarray, ids: jnp.ndarray,
     cotangent and transpose to local owned-row scatters; cold grads gather
     the C-row segment cotangent and scatter shard-locally — the sharded
     scatter-add work is also ~C per shard.
+
+    with_stats=True (tests only — a second trace) returns (out, stats) where
+    stats pins the WORK, not just the values: per-(data-shard) overflow
+    scalars, the per-model-shard cold segment counts, the cold-id count, and
+    the static capacity C — so a regression that silently degrades the
+    compact path to full gathers (e.g. a capacity miscompute firing overflow
+    every call) fails loudly (VERDICT round-4 weak #3).
     """
     num_shards = mesh.shape[MODEL_AXIS]
     if num_shards == 1:
@@ -191,7 +199,31 @@ def hotcold_embedding_lookup(table: jnp.ndarray, ids: jnp.ndarray,
         cold_partial = jax.lax.cond(total_ovf > 0, full, compact, tab)
         cold_out = jax.lax.psum(cold_partial, MODEL_AXIS)
         # (4) merge
-        return jnp.where(is_hot[:, None], hot_out, cold_out)
+        merged = jnp.where(is_hot[:, None], hot_out, cold_out)
+        if not with_stats:
+            return merged
+        seg = (stop - start).astype(jnp.int32)
+        # psum of a one-hot slot -> (S,) replicated over MODEL (collective
+        # outputs satisfy shard_map's replication check, plain locals don't)
+        counts = jax.lax.psum(
+            (jnp.arange(num_shards, dtype=jnp.int32) == s) * seg, MODEL_AXIS)
+        ncold = jax.lax.pmax(jnp.sum(~is_hot).astype(jnp.int32), MODEL_AXIS)
+        return (merged, total_ovf.reshape(1), counts.reshape(1, -1),
+                ncold.reshape(1))
+
+    if with_stats:
+        out, ovf, counts, ncold = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(MODEL_AXIS, None), flat_spec),
+            out_specs=(out_spec, P(DATA_AXIS), P(DATA_AXIS, None),
+                       P(DATA_AXIS)))(table, ids.reshape(-1))
+        n_local = ids.reshape(-1).shape[0] // mesh.shape[DATA_AXIS]
+        cap = min(n_local, max(8, -(-int(n_local * capacity_frac)
+                                    // (8 * num_shards)) * 8))
+        stats = {"total_overflow": ovf, "seg_counts": counts,
+                 "num_cold": ncold, "capacity": cap,
+                 "n_per_data_shard": n_local}
+        return out.reshape(shape + (w,)), stats
 
     out = jax.shard_map(local, mesh=mesh,
                         in_specs=(P(MODEL_AXIS, None), flat_spec),
