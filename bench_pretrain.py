@@ -135,6 +135,10 @@ def bench_mfp(per_field_shared: bool):
         mask_ratio=0.3, sampling_method="randint", pretrain=True,
         pt_type="MFP", pt_shared_noise=per_field_shared,
         pt_per_field_noise=per_field_shared)
+    if "--sparse" in sys.argv:  # A/B: sparse-stream decoder AdamW
+        from map_tpu.ops import sparse_adamw
+
+        sparse_adamw.enable(True)
     model = models.from_config(cfg)
     tx, _ = build_optimizer(args, 10_000, 0)
     batch = jax.device_put(field_blocked_batch(rng, b, idx_low, idx_high))

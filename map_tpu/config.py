@@ -85,6 +85,16 @@ class TrainingArguments:
     # (map_tpu.ops.fused_adamw); auto-disabled when max_grad_norm > 0 (the
     # global-norm clip needs one optax chain over every grad).
     fused_table_update: bool = True
+    # Sparse-stream fused AdamW for the NCE decoder table
+    # (map_tpu.ops.sparse_adamw): the dedup backward's compact gradient
+    # stream is folded directly into the table-update pass — the dense
+    # decoder gradient (zero-init + per-row-priced scatter + full-table
+    # read) never materializes. Engages only when the dedup capacity covers
+    # the whole candidate stream, the encoding fits (2C <= R), tables are
+    # unsharded, and no global-norm clip is active; falls back to the dense
+    # path otherwise. Gradient delivery is bit-exact (3-way bf16 split
+    # one-hot matmul scatter, tests/test_sparse_adamw.py).
+    sparse_table_update: bool = False
     # Field-blocked hybrid embedding access (map_tpu.ops.hybrid_gather):
     # small-vocab fields gather from their statically-sliced resident block,
     # big ID fields keep the flat gather. Requires every small-field id to

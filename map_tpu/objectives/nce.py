@@ -102,6 +102,33 @@ class IndexLinearDecoder(nn.Module):
         return (embedding_lookup(self.emb, ids),
                 embedding_lookup(self.bias[:, None], ids)[..., 0])
 
+    def _noise_rows(self, ids, n_targets: int):
+        """Shared-noise row lookup. Under the sparse-stream optimizer
+        handoff (config.sparse_table_update, ops/sparse_adamw) the emb
+        cotangent of the TARGET path is an encoding, so this path's
+        cotangent must ride the encoding's disjoint noise region — a plain
+        lookup's dense cotangent summed into it would corrupt it. The
+        engagement decision (pf_plan) is shared with the target path so the
+        two always agree."""
+        nce_grad = getattr(self.config, "nce_grad", "dedup")
+        if self.packed and nce_grad in ("dedup", "dedup_pallas"):
+            from map_tpu.ops import sparse_adamw as sa
+            from map_tpu.parallel.context import table_mesh
+
+            if sa.enabled() and table_mesh() is None:
+                from map_tpu.ops.packed_table import pack_factor
+
+                plan = sa.pf_plan(self.emb.shape[0], self.emb.shape[1],
+                                  pack_factor(self.proj_size), n_targets,
+                                  int(ids.size))
+                if plan is not None:
+                    from map_tpu.ops import dedup_scatter
+
+                    return dedup_scatter.noise_rows_packed(
+                        self.emb, self.bias, ids, self.proj_size,
+                        self.input_size, plan)
+        return self._lookup_rows(ids)
+
     def _flat_emb(self):
         if self.packed:
             from map_tpu.ops.packed_table import unpack_table
@@ -185,7 +212,8 @@ class IndexLinearDecoder(nn.Module):
         target rows + k noise rows — the fast configuration on TPU.
         """
         target_score = self._target_scores(inputs, target_idx)
-        n_rows, n_bias = self._lookup_rows(noise_idx)   # (k, E), (k,) tiny
+        n_targets = int(inputs.shape[0] * inputs.shape[1])
+        n_rows, n_bias = self._noise_rows(noise_idx, n_targets)  # (k, E) tiny
         noise_score = jnp.einsum("bme,ke->bmk", inputs, n_rows) + n_bias
         return jnp.concatenate([target_score[..., None], noise_score], axis=-1)
 
@@ -208,7 +236,9 @@ class IndexLinearDecoder(nn.Module):
         SURVEY.md §2.4)."""
         target_score = self._target_scores(inputs, target_idx)
         f, k = noise_f.shape
-        n_flat, nb_flat = self._lookup_rows(noise_f.reshape(-1))  # tiny
+        n_targets = int(inputs.shape[0] * inputs.shape[1])
+        n_flat, nb_flat = self._noise_rows(noise_f.reshape(-1),
+                                           n_targets)  # tiny
         n_rows = n_flat.reshape(f, k, -1)                 # (F, k, E)
         n_bias = nb_flat.reshape(f, k)                    # (F, k)
         all_scores = jnp.einsum("bme,fke->bmfk", inputs, n_rows) + n_bias

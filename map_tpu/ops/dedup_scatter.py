@@ -472,6 +472,33 @@ def _dgp_scatter_sorted(embed_size, vocab, res, gr_s, gb_s):
         d_bias = _scatter_rows(bias_shape, idx // pb, wide_b, sorted_ids)
         return d_emb, d_bias
 
+    # Sparse-stream fused AdamW handoff (ops/sparse_adamw): when the noise
+    # path registered a plan for this table (it traces first, in the step's
+    # forward) and the compact stream covers every entry (capacity >= n ->
+    # the compact branch is UNCONDITIONAL, no runtime fallback exists), ship
+    # the emb gradient as the ENCODED target stream instead of scattering it
+    # dense — the optimizer folds it into the table pass. The bias table is
+    # too small to hold an encoding; it keeps the dense scatter (4 MB table
+    # — its dense pass is trivial).
+    from map_tpu.ops import sparse_adamw as _sa
+
+    plan = _sa.lookup(emb_shape) if _sa.enabled() else None
+    if (plan is not None and mesh is None and capacity >= n
+            and plan.n_targets == n and plan.pack == pe):
+        vals_e, vals_b = _fold_stream2(gr_s, gb_s, start_pos, end_pos, valid)
+        uids_safe = jnp.where(valid, uids_c, jnp.int32(vocab))
+        # sentinel phys must land BEYOND the last tile (vocab//pe sits inside
+        # the table's alignment padding, where a sentinel block between real
+        # entries would break the kernel's 2-block window coverage)
+        enc = _sa.encode_target(
+            vals_e, jnp.where(valid, uids_c % pe, 0),
+            jnp.where(valid, uids_c // pe, jnp.int32(emb_shape[0])),
+            plan)
+        wide_b = expand_to_packed(vals_b, uids_safe % pb, pb)
+        d_bias = jnp.zeros(bias_shape, jnp.float32).at[uids_safe // pb].add(
+            wide_b, mode="drop", indices_are_sorted=True)
+        return enc, d_bias
+
     def folded_tier(c):
         def run(_):
             vals_e, vals_b = _fold_stream2(gr_s, gb_s, start_pos, end_pos,
@@ -560,3 +587,72 @@ def _dsp_bwd(embed_size, vocab, resid, g):
 
 
 decoder_score_packed.defvjp(_dsp_fwd, _dsp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Shared-noise row lookup with an ENCODED cotangent (ops/sparse_adamw).
+#
+# The decoder emb param is used by two scoring paths whose cotangents JAX
+# sums: the dedup target stream above and this tiny (F*k or k)-row noise
+# lookup. Under the sparse-stream optimizer handoff the target cotangent is
+# an encoding, so a dense noise cotangent summed into it would corrupt it
+# silently — this VJP encodes the noise gradient into the buffer's DISJOINT
+# noise region instead (the elementwise sum then composes the encoding).
+# Engagement is decided by the same sparse_adamw.pf_plan as the target path.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def noise_rows_packed(emb_packed: jnp.ndarray, bias_packed: jnp.ndarray,
+                      ids: jnp.ndarray, embed_size: int, vocab: int,
+                      plan=None):
+    """Packed-storage row + bias lookup for the tiny shared-noise id set,
+    identical values to IndexLinearDecoder._lookup_rows; plan: a
+    sparse_adamw.SparsePlan (static) controlling the encoded backward."""
+    from map_tpu.ops.packed_table import packed_lookup
+
+    return (packed_lookup(emb_packed, ids, embed_size),
+            packed_lookup(bias_packed, ids, 1)[..., 0])
+
+
+def _nr_fwd(emb_packed, bias_packed, ids, embed_size, vocab, plan=None):
+    from map_tpu.ops import sparse_adamw as _sa
+
+    if plan is not None:
+        _sa.register(emb_packed.shape, plan)  # trace-order: before _dsp bwd
+    out = noise_rows_packed(emb_packed, bias_packed, ids, embed_size, vocab,
+                            plan)
+    return out, (ids, emb_packed.shape, bias_packed.shape)
+
+
+def _nr_bwd(embed_size, vocab, plan, res, gout):
+    from map_tpu.ops import sparse_adamw as _sa
+    from map_tpu.ops.packed_table import expand_to_packed, pack_factor
+
+    ids, emb_shape, bias_shape = res
+    g_rows, g_b = gout
+    e = embed_size
+    pe = pack_factor(e)
+    pb = bias_shape[1]
+    flat = ids.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    gr = g_rows.reshape(-1, e).astype(jnp.float32)
+    gb = g_b.reshape(-1, 1).astype(jnp.float32)
+    # sort + fold duplicates + compact (everything here is k..F*k-sized)
+    (sids, order, _u, uids_c, start_pos, end_pos, valid,
+     _nu) = _sort_ids(flat, n)
+    gr_s = jnp.take(gr, order, axis=0)
+    gb_s = jnp.take(gb, order, axis=0)
+    vals_e, vals_b = _fold_stream2(gr_s, gb_s, start_pos, end_pos, valid)
+    assert plan is not None and plan.pack == pe
+    enc = _sa.encode_noise(
+        vals_e, jnp.where(valid, uids_c % pe, 0),
+        jnp.where(valid, uids_c // pe, jnp.int32(emb_shape[0])), plan)
+    uids_safe = jnp.where(valid, uids_c, jnp.int32(vocab))
+    wide_b = expand_to_packed(vals_b, uids_safe % pb, pb)
+    d_bias = jnp.zeros(bias_shape, jnp.float32).at[uids_safe // pb].add(
+        wide_b, mode="drop", indices_are_sorted=True)
+    return enc, d_bias, None
+
+
+noise_rows_packed.defvjp(_nr_fwd, _nr_bwd)

@@ -86,7 +86,8 @@ SMALL_FIELD_MAX = int(_os.environ.get("MAP_TPU_SMALL_FIELD_MAX", "16384"))
 _DEFAULT_MODE = "fwd"
 
 
-_VALID_MODES = frozenset({"fwd", "both", "matmul", "bwd", "bwd_pallas"})
+_VALID_MODES = frozenset({"fwd", "fwd_split", "both", "matmul", "bwd",
+                          "bwd_pallas"})
 
 
 def _resolve_mode(mode):
@@ -238,12 +239,32 @@ def _hg_bwd(bounds, pack, nresv, mode, res, g):
     r, dt = witness.shape[0], witness.dtype
     w = g.shape[-1]
     mode = _resolve_mode(mode)
-    if mode == "fwd":
+    if mode in ("fwd", "fwd_split"):
         # ONE flat scatter over all B*F rows — XLA fuses it into the AdamW
         # dense table pass; beat every decomposed form until the matmul mode
         flat = (ids // pack).reshape(-1)
+        gflat = g.astype(jnp.float32).reshape(-1, w)
+        if mode == "fwd_split":
+            # MFP corruption writes <mask>=3 into B*M ~ 29% of positions, so
+            # the flat stream carries tens of thousands of SAME-ROW updates —
+            # XLA scatter serializes duplicate-row adds. Split the reserved
+            # rows (ids < nresv: mask + padding) out analytically: their
+            # contribution is a dense masked SUM (one VPU pass over g), and
+            # the remaining scatter carries only natural-id duplicates.
+            # Bit-exactness caveat: the f32 sum order differs from the
+            # scatter's fold order (~1 ulp class), so this is an opt-in mode.
+            rpe = _resv_pe(nresv, pack)
+            is_resv = (ids < nresv).reshape(-1)
+            resv_rows = []
+            for j in range(rpe):
+                hit = (is_resv & (flat == j))[:, None]
+                resv_rows.append(jnp.sum(jnp.where(hit, gflat, 0.0), axis=0))
+            safe = jnp.where(is_resv, jnp.int32(r), flat)
+            dense = jnp.zeros((r, w), jnp.float32).at[safe].add(
+                gflat, mode="drop")
+            return dense.at[:rpe].add(jnp.stack(resv_rows)).astype(dt), None
         return jnp.zeros((r, w), jnp.float32).at[flat].add(
-            g.astype(jnp.float32).reshape(-1, w)).astype(dt), None
+            gflat).astype(dt), None
     small, big = field_groups(bounds, pack, nresv)
     g = g.astype(jnp.float32)
     phys = ids // pack

@@ -121,18 +121,39 @@ class PartitionedTx:
         lr = self.schedule(count)
         ci = (count + 1).astype(jnp.float32)
 
-        def leaf(is_t, decays, u, g, p, mom):
+        def leaf(path, is_t, decays, u, g, p, mom):
             if not is_t:
                 return u, mom
             wd = self.weight_decay if decays else 0.0
             scalars = pack_scalars(lr, wd, self.b1, self.b2, self.eps, ci)
+            # Sparse-stream handoff (ops/sparse_adamw): the NCE decoder's
+            # 'emb' cotangent may arrive as an ENCODED compact stream —
+            # recognized by (flag, registered shape, leaf name) so a same-
+            # shaped dense-grad table can never be mis-decoded.
+            from map_tpu.ops import sparse_adamw as sa
+
+            meta = (sa.lookup(g.shape)
+                    if sa.enabled() and not force_xla
+                    and path and getattr(path[-1], "key", None) == "emb"
+                    else None)
+            if meta is not None:
+                from map_tpu.ops.fused_adamw import _on_tpu
+
+                new_p, mu, nu = sa.sparse_fused_adamw(
+                    p, mom[0], mom[1], g.astype(jnp.float32), scalars,
+                    meta.c_enc, meta.n_enc, meta.wblk,
+                    interpret=not _on_tpu())
+                return Replace(new_p), (mu, nu)
             new_p, mu, nu = fused_adamw_dense(p, mom[0], mom[1],
                                               g.astype(jnp.float32), scalars,
                                               force_xla=force_xla)
             return Replace(new_p), (mu, nu)
 
         flat_t, treedef = jax.tree_util.tree_flatten(table_mask)
-        flat = [leaf(t, d, u, g, p, m) for t, d, u, g, p, m in zip(
+        flat_paths = [pp for pp, _ in
+                      jax.tree_util.tree_flatten_with_path(params)[0]]
+        flat = [leaf(pp, t, d, u, g, p, m) for pp, t, d, u, g, p, m in zip(
+            flat_paths,
             flat_t,
             jax.tree_util.tree_leaves(decay_mask),
             jax.tree_util.tree_leaves(updates),

@@ -189,6 +189,18 @@ class Trainer:
                        if exch == "hotcold" else
                        "shard_map masked-gather+psum"))
 
+        # Sparse-stream decoder AdamW (ops/sparse_adamw): trace-time switch
+        # read by the dedup backward and the optimizer; only sound when
+        # tables are unsharded, the fused partition is active, and no
+        # global-norm clip consumes table grads numerically.
+        from map_tpu.ops import sparse_adamw
+
+        sparse_adamw.enable(
+            bool(getattr(self.args, "sparse_table_update", False))
+            and self.mesh is None
+            and getattr(self.args, "fused_table_update", True)
+            and not (self.args.max_grad_norm and self.args.max_grad_norm > 0))
+
         if getattr(self.config, "pretrain", False):
             if self.config.pt_type == "MFP":
                 self._train_step, self._eval_step = ts.make_mfp_steps(
