@@ -129,6 +129,13 @@ class TrainingArguments:
     # force it. Decisive on low-bandwidth/high-latency host links.
     device_resident_data: str = "auto"
     device_data_budget_gb: float = 8.0
+    # Host-side dataset budget: when 2x the h5 matrix bytes exceed it, the
+    # dataset auto-switches to per-split memmap files (one-time chunked
+    # conversion; every process then maps the SAME bytes through the OS page
+    # cache instead of holding its own copy — the >RAM loading mode,
+    # data/dataset.py). 0 = auto (60% of physical RAM), -1 = always in-RAM
+    # (reference parity, code/dataset.py:27-29), >0 = explicit MB budget.
+    host_data_budget_mb: int = 0
     # Multi-host (process_count > 1) evals default to streaming AUC so no
     # host ever materializes the global per-example arrays; this flag forces
     # the exact allgather path back on (small eval splits only).

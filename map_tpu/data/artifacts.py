@@ -74,6 +74,99 @@ def feat_count_path(data_dir: str) -> str:
     return os.path.join(data_dir, "feat-count.npy")
 
 
+def h5_dims(data_dir: str, name: str) -> Tuple[int, int]:
+    """(rows, fields) WITHOUT loading the data — the >RAM-mode decision
+    input (h5py reads only the dataset header)."""
+    with h5py.File(os.path.join(data_dir, f"{name}.h5"), "r") as f:
+        return tuple(f["feat_ids"].shape)
+
+
+def _mmap_paths(data_dir: str, name: str, split: str):
+    base = os.path.join(data_dir, f"{name}-{split}")
+    return base + "-X.i32.mmap", base + "-Y.f32.mmap"
+
+
+def materialize_split_memmaps(data_dir: str, name: str,
+                              splits: Dict[str, np.ndarray],
+                              chunk_rows: int = 1 << 20) -> None:
+    """One-time conversion of the h5 + split indices into per-split
+    row-major memmap files, CHUNKED so peak host RAM stays ~chunk_rows
+    regardless of dataset size (the >RAM loading mode, SURVEY §7; the
+    reference loads everything into RAM, code/dataset.py:27-29).
+
+    Multi-process safe: one process wins the .lock (O_EXCL) and writes;
+    the rest poll for the .done marker. Files are written to .tmp then
+    renamed, so a crashed writer never leaves a half-file looking valid."""
+    import time
+
+    done = os.path.join(data_dir, f"{name}-mmap.done")
+    if os.path.exists(done):
+        return
+    lock = os.path.join(data_dir, f"{name}-mmap.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        while not os.path.exists(done):  # another process is writing
+            time.sleep(0.5)
+        return
+    try:
+        with h5py.File(os.path.join(data_dir, f"{name}.h5"), "r") as f:
+            fx, fy = f["feat_ids"], f["labels"]
+            nf = fx.shape[1]
+            for split, idx in splits.items():
+                xp, yp = _mmap_paths(data_dir, name, split)
+                idx = np.asarray(idx, np.int64)
+                n = len(idx)
+                xm = np.memmap(xp + ".tmp", np.int32, "w+", shape=(n, nf))
+                ym = np.memmap(yp + ".tmp", np.float32, "w+", shape=(n,))
+                for i in range(0, n, chunk_rows):
+                    ci = idx[i:i + chunk_rows]
+                    # h5py fancy selection requires ascending indices: read
+                    # sorted, then invert the permutation (chunk-local RAM)
+                    order = np.argsort(ci, kind="stable")
+                    inv = np.empty_like(order)
+                    inv[order] = np.arange(len(order))
+                    xm[i:i + chunk_rows] = fx[ci[order]][inv]
+                    ym[i:i + chunk_rows] = fy[ci[order]][inv]
+                xm.flush()
+                ym.flush()
+                del xm, ym
+                os.replace(xp + ".tmp", xp)
+                os.replace(yp + ".tmp", yp)
+        with open(done, "w") as f:
+            f.write("ok")
+    finally:
+        os.remove(lock)
+
+
+def open_split_memmaps(data_dir: str, name: str, split: str, num_fields: int
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Read-only memmaps of a materialized split. Multiple processes map the
+    SAME file, sharing the OS page cache instead of each holding a copy."""
+    xp, yp = _mmap_paths(data_dir, name, split)
+    x = np.memmap(xp, np.int32, "r").reshape(-1, num_fields)
+    y = np.memmap(yp, np.float32, "r")
+    return x, y
+
+
+def h5_field_ranges(data_dir: str, name: str, chunk_rows: int = 1 << 20
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Chunked per-field (min, max+1) over ALL h5 rows (the id-range pass
+    the in-RAM path does on the loaded matrix)."""
+    with h5py.File(os.path.join(data_dir, f"{name}.h5"), "r") as f:
+        fx = f["feat_ids"]
+        lo = None
+        for i in range(0, fx.shape[0], chunk_rows):
+            c = fx[i:i + chunk_rows]
+            clo, chi = c.min(axis=0), c.max(axis=0)
+            if lo is None:
+                lo, hi = clo, chi
+            else:
+                lo, hi = np.minimum(lo, clo), np.maximum(hi, chi)
+    return lo.astype(np.int32), (hi + 1).astype(np.int32)
+
+
 def compute_feat_count(train_feat_ids: np.ndarray, vocab_size: int) -> np.ndarray:
     """Global per-feature frequency over the train split (dataset.py:49-62)."""
     return np.bincount(train_feat_ids.ravel(), minlength=vocab_size).astype(np.float32)

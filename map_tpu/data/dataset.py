@@ -39,16 +39,57 @@ class CTRDataset:
     def load_data(self) -> None:
         self.field_names, self.feat_map, self.field_map = artifacts.read_meta(
             self.data_dir, self.dataset_name)
+        splits = artifacts.read_split(self.data_dir, self.split_names)
+        self.memory_mapped = self._over_host_budget()
+        if self.memory_mapped:
+            # >RAM mode (SURVEY §7; the reference loads the full matrix into
+            # host RAM, code/dataset.py:27-29, which binds at Criteo-x4 scale
+            # x process_count): one-time chunked conversion to per-split
+            # row-major memmap files, then every process maps the same bytes
+            # through the shared OS page cache. The Batcher's fancy-row
+            # reads return ordinary ndarrays — the stream is bit-identical
+            # to the in-RAM path (tests/test_memmap_dataset.py).
+            artifacts.materialize_split_memmaps(
+                self.data_dir, self.dataset_name, splits)
+            nf = artifacts.h5_dims(self.data_dir, self.dataset_name)[1]
+            self.X, self.Y = {}, {}
+            for s in self.split_names:
+                self.X[s], self.Y[s] = artifacts.open_split_memmaps(
+                    self.data_dir, self.dataset_name, s, nf)
+            self._load_feat_count()
+            self.idx_low, self.idx_high = artifacts.h5_field_ranges(
+                self.data_dir, self.dataset_name)
+            self._derive_field_invariants()
+            return
         feat_ids, labels = artifacts.read_ctr_h5(self.data_dir, self.dataset_name)
         feat_ids = np.ascontiguousarray(feat_ids.astype(np.int32))
         labels = np.ascontiguousarray(labels.astype(np.float32))
 
-        splits = artifacts.read_split(self.data_dir, self.split_names)
         self.X: Dict[str, np.ndarray] = {s: feat_ids[splits[s]] for s in self.split_names}
         self.Y: Dict[str, np.ndarray] = {s: labels[splits[s]] for s in self.split_names}
 
         self._load_feat_count()
         self._count_feat_per_field(feat_ids)
+
+    def _over_host_budget(self) -> bool:
+        """memmap-mode decision from the h5 HEADER only (nothing loaded).
+        host_data_budget_mb: -1 = always in-RAM (reference parity), 0 = auto
+        (60% of physical RAM), >0 = explicit budget. The in-RAM path briefly
+        holds h5 matrix + per-split copies ~ 2x the matrix bytes."""
+        budget_mb = int(getattr(self.args, "host_data_budget_mb", 0) or 0)
+        if budget_mb < 0:
+            return False
+        rows, nf = artifacts.h5_dims(self.data_dir, self.dataset_name)
+        need = 2 * rows * nf * 4
+        if budget_mb == 0:
+            try:
+                budget = int(os.sysconf("SC_PHYS_PAGES")
+                             * os.sysconf("SC_PAGE_SIZE") * 0.6)
+            except (ValueError, OSError):  # pragma: no cover
+                return False
+        else:
+            budget = budget_mb << 20
+        return need > budget
 
     def _load_feat_count(self) -> None:
         """Unigram stats for the NCE noise distribution (dataset.py:49-62)."""
@@ -73,6 +114,9 @@ class CTRDataset:
         # path's correctness contract.
         self.idx_low = feat_ids.min(axis=0).astype(np.int32)
         self.idx_high = (feat_ids.max(axis=0) + 1).astype(np.int32)
+        self._derive_field_invariants()
+
+    def _derive_field_invariants(self) -> None:
         self.feat_num_per_field = self.idx_high - self.idx_low
         # The hybrid lookup's actual contract (its small-field routing slices
         # blocks out of the table by these ranges): blocks must sit above the
