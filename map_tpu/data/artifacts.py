@@ -53,6 +53,33 @@ def write_ctr_h5(data_dir: str, name: str, feat_ids: np.ndarray, labels: np.ndar
         f.create_dataset("labels", data=labels)
 
 
+class H5Writer:
+    """Chunk-appendable writer for the {name}.h5 contract (resizable
+    datasets) — the streaming twin of write_ctr_h5 for >RAM preprocessing."""
+
+    def __init__(self, data_dir: str, name: str, num_fields: int):
+        self._f = h5py.File(os.path.join(data_dir, f"{name}.h5"), "w")
+        self._x = self._f.create_dataset(
+            "feat_ids", shape=(0, num_fields), maxshape=(None, num_fields),
+            dtype=np.int32, chunks=(1 << 16, num_fields))
+        self._y = self._f.create_dataset(
+            "labels", shape=(0,), maxshape=(None,), dtype=np.int64,
+            chunks=(1 << 18,))
+
+    def append(self, feat_ids: np.ndarray, labels: np.ndarray) -> None:
+        n0 = self._x.shape[0]
+        n = len(labels)
+        self._x.resize(n0 + n, axis=0)
+        self._y.resize(n0 + n, axis=0)
+        self._x[n0:] = feat_ids
+        self._y[n0:] = labels
+
+    def close(self) -> int:
+        n = self._x.shape[0]
+        self._f.close()
+        return n
+
+
 def read_ctr_h5(data_dir: str, name: str) -> Tuple[np.ndarray, np.ndarray]:
     with h5py.File(os.path.join(data_dir, f"{name}.h5"), "r") as f:
         return f["feat_ids"][:], f["labels"][:]

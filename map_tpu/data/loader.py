@@ -173,3 +173,95 @@ class Batcher:
                         else self.noise_source,
                         nslice)
             yield batch
+
+    def epoch_stacked(self, spc: int, epoch: Optional[int] = None,
+                      start_batch: int = 0):
+        """Group-vectorized epoch stream (VERDICT round-4 item 5: the e2e
+        residual vs the device step is the HOST loop — per-batch Python
+        dict/gather/stack work — not dispatch depth).
+
+        Yields (n, stacked, views): for full groups of `spc` batches, ONE
+        vectorized assembly builds the already-stacked arrays the fused
+        lax.scan dispatch consumes (leading axis = step), replacing ~spc
+        per-batch gathers + the trainer-side np.stack re-copy; `views` are
+        per-batch slices for host consumers (window metrics). The epoch tail
+        (a short group and/or the padded last batch) delegates to epoch()
+        so padding/weight semantics stay in one place.
+
+        BIT-IDENTICAL stream: the shuffled order is the same per-epoch
+        seeded permutation, and the noise draw uses one size-(g*k) call —
+        numpy's bounded-integer generation consumes the bit stream per
+        value, so it reproduces the per-batch draw sequence exactly (same
+        property the resume fast-forward relies on; pinned by
+        tests/test_loader.py::test_epoch_stacked_matches_per_batch)."""
+        if epoch is None:
+            epoch = self._epoch
+            self._epoch += 1
+        spc = max(1, int(spc))
+        n = len(self.Y)
+        bs = self.batch_size
+        rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch]))
+        order = rng.permutation(n) if self.shuffle else np.arange(n)
+        num_batches = len(self)
+        full_batches = n // bs  # batches with no padding rows
+        n_groups = max(0, (full_batches - start_batch)) // spc
+        npe = self.noise_rows_per_example
+        k = bs * npe
+        if start_batch and npe > 0:
+            rng.integers(0, len(self.noise_source),
+                         size=min(start_batch, num_batches) * k)
+        if self.row_shard is not None:
+            start_block, n_blocks, total_blocks = self.row_shard
+            rows_per_block = bs // total_blocks
+            lbs = n_blocks * rows_per_block
+            lo = start_block * rows_per_block
+        else:
+            lbs = self.local_batch_size
+            lo = self.process_index * lbs
+
+        from map_tpu import native
+
+        x = self.X if self.X.dtype == np.int32 else self.X.astype(np.int32)
+        y = self.Y if self.Y.dtype == np.float32 else self.Y.astype(np.float32)
+        ns = self.noise_source
+        if ns is not None and (ns.dtype != np.int32
+                               or not ns.flags.c_contiguous):
+            ns = np.ascontiguousarray(ns, dtype=np.int32)
+
+        for gi in range(n_groups):
+            b0 = start_batch + gi * spc
+            rows = order[b0 * bs:(b0 + spc) * bs].reshape(spc, bs)
+            lidx = np.ascontiguousarray(rows[:, lo:lo + lbs])
+            stacked = {
+                "labels": np.asarray(y)[lidx],
+                "weight": np.ones((spc, lbs), np.float32),
+            }
+            if self.emit_indices:
+                stacked["real_count"] = np.full(spc, bs, np.int32)
+                if self.emit_start_only:
+                    stacked["start"] = np.arange(b0, b0 + spc, dtype=np.int32)
+                else:
+                    stacked["index"] = lidx.astype(np.int32)
+            else:
+                stacked["input_ids"] = native.gather_rows_i32(
+                    x, lidx.reshape(-1)).reshape(spc, lbs, -1)
+            if npe > 0:
+                sample = rng.integers(0, len(ns), size=spc * k).reshape(
+                    spc, k)
+                nl = lbs * npe
+                nslice = sample[:, lo * npe: lo * npe + nl]
+                if self.emit_indices:
+                    stacked["noise_index"] = nslice.astype(np.int32)
+                else:
+                    stacked["noise_rows"] = native.gather_rows_i32(
+                        ns, np.ascontiguousarray(nslice).reshape(-1)
+                    ).reshape(spc, nl, -1)
+            views = [{kk: v[i] for kk, v in stacked.items()}
+                     for i in range(spc)]
+            yield spc, stacked, views
+
+        tail_start = start_batch + n_groups * spc
+        if tail_start < num_batches:
+            # delegate: epoch() re-skips the draw stream up to tail_start
+            for b in self.epoch(epoch, start_batch=tail_start):
+                yield 1, b, [b]

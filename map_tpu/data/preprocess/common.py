@@ -74,3 +74,66 @@ def verify_field_blocked(feat_ids: np.ndarray, field_map: Dict[str, int]) -> Non
     for f in range(feat_ids.shape[1] - 1):
         assert highs[f] < lows[f + 1] or highs[f] < NUM_RESERVED, \
             f"field blocks overlap at column {f}"
+
+
+class ChunkedVocabBuilder:
+    """Two-pass, chunk-streamed twin of build_dataset_arrays for raw files
+    that don't fit host RAM as a pandas object frame (Criteo-x4 scale: a
+    40M-row object DataFrame is ~100 GB; the reference pipeline,
+    proc_criteo.py:55-68, loads everything).
+
+    EXACT-equivalence contract (pinned by tests/test_preprocess.py):
+    pass-1 counting accumulates per-field value counts in a Python dict —
+    insertion order is the value's FIRST occurrence across the stream, which
+    is precisely the first-seen order pd.factorize(sort=False) produces on
+    the concatenated data — and finalize() ranks by stable descending count,
+    so ids come out identical to encode_field on the full column.
+    """
+
+    def __init__(self, field_names, n_core: int):
+        self.field_names = list(field_names)
+        self.n_core = int(n_core)
+        self._counts = {f: {} for f in self.field_names}
+        self._maps = None
+
+    def observe(self, field: str, values: np.ndarray) -> None:
+        assert self._maps is None, "finalize() already called"
+        c = self._counts[field]
+        codes, uniques = pd.factorize(pd.Series(values), sort=False)
+        cnt = np.bincount(codes[codes >= 0], minlength=len(uniques))
+        for u, k in zip(uniques.tolist(), cnt.tolist()):
+            if u in c:
+                c[u] += k
+            else:
+                c[u] = k
+
+    def finalize(self):
+        """Build feat_map / field_map / per-field value->id dicts."""
+        feat_map = {tok: i for i, tok in enumerate(RESERVED_TOKENS)}
+        field_map = {RSV_FIELD: 0}
+        self._maps = {}
+        self.oov = {}
+        for name in self.field_names:
+            field_map[name] = len(field_map)
+            items = list(self._counts[name].items())  # first-seen order
+            counts = np.asarray([k for _, k in items])
+            order = np.argsort(-counts, kind="stable")
+            kept = order[counts[order] >= self.n_core]
+            base = len(feat_map)
+            m = {}
+            for rank, uidx in enumerate(kept.tolist()):
+                val = items[uidx][0]
+                feat_map[f"{name}-{val}"] = base + rank
+                m[val] = base + rank
+            oov_id = base + len(kept)
+            feat_map[f"{name}-<oov>"] = oov_id
+            self._maps[name] = m
+            self.oov[name] = oov_id
+            self._counts[name] = None  # free pass-1 memory as we go
+        self.feat_map, self.field_map = feat_map, field_map
+        return feat_map, field_map
+
+    def map_chunk(self, field: str, values: np.ndarray) -> np.ndarray:
+        assert self._maps is not None, "call finalize() first"
+        ids = pd.Series(values).map(self._maps[field])
+        return ids.fillna(self.oov[field]).to_numpy(dtype=np.int32)

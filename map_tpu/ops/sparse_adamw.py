@@ -66,7 +66,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-TILE_ROWS = 128
+import os as _os
+
+# Output-tile rows per grid step. The matmul-scatter MACs scale LINEARLY in
+# this (window = 2 x TILE_ROWS*pack entries per tile), grid overhead
+# inversely; env-overridable for hardware A/B (benchmarks/bench_sparse_adamw).
+TILE_ROWS = int(_os.environ.get("MAP_TPU_SPARSE_TILE", "128"))
 
 
 # ---------------------------------------------------------------------------
@@ -201,16 +206,23 @@ def _split3(v):
     return b1, b2, b3
 
 
-def _window_starts(phys: jnp.ndarray, num_tiles: int, wblk: int,
-                   num_blocks: int) -> jnp.ndarray:
-    """Per-tile window block index into a sorted phys stream: the block
+def _window_plan(phys: jnp.ndarray, num_tiles: int, t: int, wblk: int,
+                 num_blocks: int):
+    """Per-tile window block index into a sorted phys stream — the block
     holding the first entry of the tile's segment, clamped so block j0+1
-    stays inside the region. The clamp preserves coverage — the window start
+    stays inside the region (the clamp preserves coverage: the window start
     never moves past the segment start and the end only ever moves to the
-    region end."""
-    tile_lo = jnp.arange(num_tiles, dtype=jnp.int32) * TILE_ROWS
-    starts = jnp.searchsorted(phys, tile_lo).astype(jnp.int32)
-    return jnp.clip(starts // wblk, 0, num_blocks - 2)
+    region end) — plus two nonempty bits so the kernel can SKIP half-window
+    matmuls: half h executes iff the tile's segment [s, e) intersects block
+    j0+h. Half 0 is live whenever the segment is nonempty; half 1 only when
+    the segment crosses the block boundary (~cnt/wblk of tiles)."""
+    bounds = jnp.arange(num_tiles + 1, dtype=jnp.int32) * t
+    starts = jnp.searchsorted(phys, bounds).astype(jnp.int32)
+    s, e = starts[:-1], starts[1:]
+    j0 = jnp.clip(s // wblk, 0, num_blocks - 2)
+    ne0 = (e > j0 * wblk) & (s < (j0 + 1) * wblk)
+    ne1 = (e > (j0 + 1) * wblk) & (s < (j0 + 2) * wblk)
+    return j0, ne0.astype(jnp.int32), ne1.astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("c_enc", "n_enc", "wblk", "interpret"))
@@ -237,34 +249,45 @@ def sparse_fused_adamw(p: jnp.ndarray, mu: jnp.ndarray, nu: jnp.ndarray,
 
     phys_t = jax.lax.slice(enc, (c_enc, 0), (2 * c_enc, 1)).reshape(-1)
     phys_n = jax.lax.slice(enc, (r - n_enc, 0), (r, 1)).reshape(-1)
-    j0t = _window_starts(phys_t.astype(jnp.int32), num_tiles, wblk,
-                         c_enc // wblk)
-    j0n = _window_starts(phys_n.astype(jnp.int32), num_tiles, wblk,
-                         n_enc // wblk)
-    prefetch = jnp.stack([j0t, j0n], axis=0)  # (2, num_tiles)
+    j0t, t_ne0, t_ne1 = _window_plan(phys_t.astype(jnp.int32), num_tiles,
+                                     t, wblk, c_enc // wblk)
+    j0n, n_ne0, n_ne1 = _window_plan(phys_n.astype(jnp.int32), num_tiles,
+                                     t, wblk, n_enc // wblk)
+    flags = (t_ne0 | (t_ne1 << 1) | (n_ne0 << 2) | (n_ne1 << 3))
+    prefetch = jnp.stack([j0t, j0n, flags], axis=0)  # (3, num_tiles)
 
     def kernel(j_ref, s_ref, p_ref, mu_ref, nu_ref, tv0, tv1, tp0, tp1,
-               nv0, nv1, np0, np1, po_ref, muo_ref, nuo_ref):
+               nv0, nv1, np0, np1, po_ref, muo_ref, nuo_ref, g_ref):
         i = pl.program_id(0)
         lo = i * t
+        fl = j_ref[2, i]
         lane = jax.lax.broadcasted_iota(jnp.int32, (wblk, 128), 1)
-        g = jnp.zeros((t, 128), jnp.float32)
-        for v_ref, ph_ref in ((tv0, tp0), (tv1, tp1), (nv0, np0),
-                              (nv1, np1)):
-            # phys rides the f32 buffer; values are exact ints < 2^24.
-            # one-hot over OUTPUT ROWS via the lane axis: oh[e, row] = 1 iff
-            # the entry's physical row is this tile's row `row`; entries
-            # outside [0, t) (neighbor tiles, sentinels) match no lane.
-            rel = ph_ref[:].astype(jnp.int32) - lo      # (wblk, 128)
-            oh = jnp.where(rel == lane, 1.0, 0.0).astype(jnp.bfloat16)
-            b1, b2, b3 = _split3(v_ref[:])
-            dn = (((0,), (0,)), ((), ()))
-            for bsplit in (b1, b2, b3):
-                g += jax.lax.dot_general(
-                    oh, bsplit, dn, preferred_element_type=jnp.float32)
+        g_ref[:] = jnp.zeros((t, 128), jnp.float32)
+
+        def half(bit, v_ref, ph_ref):
+            @pl.when((fl >> bit) % 2 == 1)
+            def _():
+                # phys rides the f32 buffer; values are exact ints < 2^24.
+                # one-hot over OUTPUT ROWS via the lane axis: oh[e, row] = 1
+                # iff the entry's physical row is this tile's row `row`;
+                # entries outside [0, t) (neighbors, sentinels) match none.
+                rel = ph_ref[:].astype(jnp.int32) - lo  # (wblk, 128)
+                oh = jnp.where(rel == lane, 1.0, 0.0).astype(jnp.bfloat16)
+                b1, b2, b3 = _split3(v_ref[:])
+                dn = (((0,), (0,)), ((), ()))
+                acc = g_ref[:]
+                for bsplit in (b1, b2, b3):
+                    acc += jax.lax.dot_general(
+                        oh, bsplit, dn, preferred_element_type=jnp.float32)
+                g_ref[:] = acc
+
+        half(0, tv0, tp0)
+        half(1, tv1, tp1)
+        half(2, nv0, np0)
+        half(3, nv1, np1)
         lr, wd, b1_, b2_, eps, bc1, bc2 = (s_ref[0, i_] for i_ in range(7))
         new_p, new_mu, new_nu = _adamw_math(
-            p_ref[:], mu_ref[:], nu_ref[:], g, lr, wd, b1_, b2_, eps,
+            p_ref[:], mu_ref[:], nu_ref[:], g_ref[:], lr, wd, b1_, b2_, eps,
             bc1, bc2)
         po_ref[:] = new_p
         muo_ref[:] = new_mu
@@ -291,6 +314,7 @@ def sparse_fused_adamw(p: jnp.ndarray, mu: jnp.ndarray, nu: jnp.ndarray,
                 win(noise_p0, 1), win(noise_p0 + 1, 1),      # noise phys
             ],
             out_specs=[tile(), tile(), tile()],
+            scratch_shapes=[pltpu.VMEM((t, 128), jnp.float32)],
         ),
         out_shape=[jax.ShapeDtypeStruct((r, 128), jnp.float32)] * 3,
         input_output_aliases={2: 0, 3: 1, 4: 2},

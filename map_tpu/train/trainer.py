@@ -414,6 +414,12 @@ class Trainer:
             try:
                 group = []
                 for b in batches:
+                    if isinstance(b, tuple):
+                        # pre-stacked group from loader.epoch_stacked:
+                        # (n, stacked_or_batch, per_batch_views)
+                        n, payload, views = b
+                        q.put((n, self._put(payload, n > 1), views))
+                        continue
                     group.append(b)
                     if len(group) == spc and spc > 1:
                         stacked = {k: np.stack([g[k] for g in group])
@@ -612,8 +618,16 @@ class Trainer:
             if batcher.emit_start_only:
                 self._ensure_epoch_perm(epoch, batcher)
             # start_batch fast-forwards in O(1) gather work (loader.py)
-            yield epoch, batcher.epoch(
-                epoch, start_batch=skip if epoch == start_epoch else 0)
+            sb = skip if epoch == start_epoch else 0
+            if self._multi_step is not None:
+                # group-vectorized host assembly (loader.epoch_stacked):
+                # one numpy/native pass builds the already-stacked group the
+                # fused dispatch consumes — the per-batch Python host loop
+                # was the measured e2e residual (PERFORMANCE.md round 4)
+                yield epoch, batcher.epoch_stacked(
+                    self._steps_per_call, epoch, start_batch=sb)
+            else:
+                yield epoch, batcher.epoch(epoch, start_batch=sb)
 
     def _variables(self) -> Dict:
         v = {"params": self.state.params}

@@ -112,3 +112,40 @@ def test_fast_forward_reproduces_stream():
         for got, want in zip(tail, full[skip:]):
             for k in want:
                 np.testing.assert_array_equal(got[k], want[k])
+
+
+def test_epoch_stacked_matches_per_batch():
+    """Group-vectorized assembly (epoch_stacked) must reproduce the
+    per-batch epoch() stream bit-exactly — including the shared noise draw
+    stream, the padded tail batch, and start_batch fast-forward."""
+    import numpy as np
+
+    from map_tpu.data.loader import Batcher
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(10, 500, (1010, 5)).astype(np.int32)
+    y = rng.random(1010).astype(np.float32)
+    for emit, v2, skip in ((False, False, 0), (True, False, 0),
+                           (True, True, 0), (False, False, 3)):
+        a = Batcher(x, y, 64, shuffle=True, seed=9, noise_source=x,
+                    noise_rows_per_example=2)
+        b = Batcher(x, y, 64, shuffle=True, seed=9, noise_source=x,
+                    noise_rows_per_example=2)
+        a.emit_indices = b.emit_indices = emit
+        a.emit_start_only = b.emit_start_only = v2
+        spc = 4
+        per_batch = list(a.epoch(1, start_batch=skip))
+        flat = []
+        for n, payload, views in b.epoch_stacked(spc, 1, start_batch=skip):
+            if n == 1:
+                flat.append(payload)
+            else:
+                assert len(views) == n
+                for i in range(n):
+                    flat.append({k: payload[k][i] for k in payload})
+        assert len(flat) == len(per_batch)
+        for ga, gb in zip(per_batch, flat):
+            assert set(ga.keys()) == set(gb.keys()), (ga.keys(), gb.keys())
+            for k in ga:
+                np.testing.assert_array_equal(
+                    np.asarray(ga[k]), np.asarray(gb[k]), err_msg=k)

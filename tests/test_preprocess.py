@@ -187,3 +187,47 @@ def test_legacy_split_deterministic_pin():
     tf = stratified_kfold_legacy(y, n_splits=10, seed=2018)
     digest = hashlib.md5(tf.astype(np.int64).tobytes()).hexdigest()
     assert digest == stratified_kfold_legacy.__test_pin__, digest
+
+
+def test_chunked_criteo_matches_single_pass(tmp_path):
+    """run_chunked (two-pass streaming, >RAM mode) must produce BIT-IDENTICAL
+    artifacts to run() — ids, labels, meta — including tie cases (equal
+    counts resolve by first occurrence, Counter.most_common order)."""
+    import json
+
+    import h5py
+    import numpy as np
+
+    from map_tpu.data.preprocess import criteo
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    cols = []
+    labels = rng.integers(0, 2, n)
+    cols.append(labels.astype(str))
+    for i in range(13):  # I1-13 numeric with NaN holes
+        v = rng.integers(-2, 4000, n).astype(object)
+        v[rng.random(n) < 0.2] = ""
+        cols.append(np.asarray(v, dtype=object))
+    for i in range(26):  # C1-26 categorical, Zipf-ish, with empties
+        k = int(rng.integers(5, 400))
+        v = np.minimum((rng.pareto(1.0, n) * 3).astype(np.int64), k)
+        s = np.asarray([f"v{x:x}" for x in v], dtype=object)
+        s[rng.random(n) < 0.1] = ""
+        cols.append(s)
+    raw = tmp_path / "dac.txt"
+    with open(raw, "w") as f:
+        for r in range(n):
+            f.write("\t".join(str(c[r]) for c in cols) + "\n")
+
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    criteo.run(str(raw), out_a, name="criteo")
+    criteo.run_chunked(str(raw), out_b, name="criteo", chunk_rows=700)
+
+    for fn in ("criteo-meta.json",):
+        with open(f"{out_a}/{fn}") as fa, open(f"{out_b}/{fn}") as fb:
+            assert json.load(fa) == json.load(fb)
+    with h5py.File(f"{out_a}/criteo.h5") as fa, \
+            h5py.File(f"{out_b}/criteo.h5") as fb:
+        np.testing.assert_array_equal(fa["feat_ids"][:], fb["feat_ids"][:])
+        np.testing.assert_array_equal(fa["labels"][:], fb["labels"][:])
