@@ -15,7 +15,7 @@ ROWS=${ROWS:-40000000}
 mkdir -p "$DATA/logs"
 export PYTHONPATH=/root/repo:/root/.axon_site
 PY=/opt/venv/bin/python
-TIME="/usr/bin/time -v"
+TIME="$PY /root/repo/benchmarks/criteo_proof/rusage.py"
 
 stage() {  # stage <name> <done-file> <cmd...>
   local name=$1 done=$2; shift 2

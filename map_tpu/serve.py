@@ -103,15 +103,23 @@ class Predictor:
             np.ascontiguousarray(chunk[:, g32] - il[g32]).astype(np.int32))
 
     def predict_logits(self, feat_ids: np.ndarray) -> np.ndarray:
-        """feat_ids (N, F) int -> logits (N,) float32, batched + padded."""
+        """feat_ids (N, F) int -> logits (N,) float32, batched + padded.
+
+        True three-stage pipeline (VERDICT round-4 item 9): a producer
+        thread packs + device_puts chunk i+2, the main thread dispatches
+        chunk i+1's forward, and a DRAINER thread fetches chunk i's logits —
+        so the D2H result fetch (the tunnel's slow direction) overlaps both
+        H2D and compute instead of stalling the dispatch loop. The result
+        queue's bound doubles as in-flight backpressure."""
         import queue as queue_mod
         import threading
-        from collections import deque
 
         n = len(feat_ids)
         bs = self.batch_size
         out = np.empty(n, np.float32)
         q: "queue_mod.Queue" = queue_mod.Queue(maxsize=self.prefetch)
+        rq: "queue_mod.Queue" = queue_mod.Queue(maxsize=self.prefetch + 1)
+        drain_err = []
 
         def producer():
             try:
@@ -130,26 +138,36 @@ class Predictor:
             except BaseException as e:  # surface errors to the consumer
                 q.put(e)
 
+        def drainer():
+            try:
+                while True:
+                    item = rq.get()
+                    if item is None:
+                        return
+                    lo, real, res = item
+                    out[lo:lo + real] = np.asarray(res)[:real]
+            except BaseException as e:  # pragma: no cover
+                drain_err.append(e)
+                while rq.get() is not None:  # keep the pipeline unblocked
+                    pass
+
         threading.Thread(target=producer, daemon=True).start()
-        inflight: deque = deque()
-
-        def drain():
-            lo, real, res = inflight.popleft()
-            out[lo:lo + real] = np.asarray(res)[:real]
-
+        dt = threading.Thread(target=drainer, daemon=True)
+        dt.start()
         while True:
             item = q.get()
             if item is None:
                 break
             if isinstance(item, BaseException):
+                rq.put(None)
                 raise item
             lo, real, dev = item
-            # async dispatch; result fetched prefetch batches later
-            inflight.append((lo, real, self._fwd(self.variables, *dev)))
-            if len(inflight) > self.prefetch:
-                drain()
-        while inflight:
-            drain()
+            # async dispatch; the drainer fetches prefetch batches later
+            rq.put((lo, real, self._fwd(self.variables, *dev)))
+        rq.put(None)
+        dt.join()
+        if drain_err:
+            raise drain_err[0]
         return out
 
     def predict_proba(self, feat_ids: np.ndarray) -> np.ndarray:

@@ -15,7 +15,8 @@ import sys
 
 BASE = os.path.dirname(os.path.abspath(__file__))
 STAGES = ("scratch", "mfp", "rfd", "finetune", "finetune_rfd")
-SEEDS = (42, 43, 44, 45)
+SEEDS = (42, 43, 44, 45, 46, 47, 48, 49)  # 46-49: mfp-stage-only
+# (run_mfp_seed_sweep.sh, VERDICT round-4 item 7 — other stages stay n=4)
 
 
 def _last(path: str, key: str):
