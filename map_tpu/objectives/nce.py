@@ -111,7 +111,7 @@ class IndexLinearDecoder(nn.Module):
         engagement decision (pf_plan) is shared with the target path so the
         two always agree."""
         nce_grad = getattr(self.config, "nce_grad", "dedup")
-        if self.packed and nce_grad in ("dedup", "dedup_pallas"):
+        if self.packed and nce_grad in ("dedup", "dedup_pallas", "dedup_bwd"):
             from map_tpu.ops import sparse_adamw as sa
             from map_tpu.parallel.context import table_mesh
 
@@ -161,7 +161,7 @@ class IndexLinearDecoder(nn.Module):
         # ops/dedup_scatter._dgp_fwd/_dgp_bwd); the unpacked legacy path does
         # not, so it falls back to the plain lookup under a table mesh.
         dedup_ok = self.packed or table_mesh() is None
-        if nce_grad in ("dedup", "dedup_pallas") and dedup_ok:
+        if nce_grad in ("dedup", "dedup_pallas", "dedup_bwd") and dedup_ok:
             from map_tpu.ops import dedup_scatter
 
             # static arg (keys the jit cache, round-2 advisor): under
@@ -192,6 +192,14 @@ class IndexLinearDecoder(nn.Module):
         Zipf-duplicated target ids (3.85 ms raw vs 1.86 ms sorted for the
         canonical 28.7k-row stream — benchmarks/bench_dec_bwd.py)."""
         nce_grad = getattr(self.config, "nce_grad", "dedup")
+        if self.packed and nce_grad == "dedup_bwd":
+            # plain-lookup forward, dedup-folded backward (two sorts total,
+            # both in the backward — ops/dedup_scatter.decoder_score_target)
+            from map_tpu.ops import dedup_scatter
+
+            return dedup_scatter.decoder_score_target(
+                self.emb, self.bias, inputs, target_idx,
+                self.proj_size, self.input_size)
         if self.packed and nce_grad in ("dedup", "dedup_pallas"):
             from map_tpu.ops import dedup_scatter
 

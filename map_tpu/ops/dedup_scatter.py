@@ -656,3 +656,77 @@ def _nr_bwd(embed_size, vocab, plan, res, gout):
 
 
 noise_rows_packed.defvjp(_nr_fwd, _nr_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Backward-only dedup for SMALL candidate streams (the pf-shared target
+# scores: 28.7k rows at the canonical config).
+#
+# decoder_score_packed's unique-once forward exists for the 745k per-position
+# stream; at 28.7k the compact-gather+expand forward costs about the same as
+# a plain lookup, but its THREE forward sorts are pure overhead when the
+# backward can rebuild everything with TWO: one multi-operand lax.sort
+# carries (ids, position, d_score) together — lax.sort's stability
+# reproduces the same permutation the forward sort would have produced — and
+# one compaction sort locates segment starts. Values are bit-identical to
+# the score-fused path (same folds, same scatter); only op scheduling moves.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def decoder_score_target(emb_packed: jnp.ndarray, bias_packed: jnp.ndarray,
+                         inputs: jnp.ndarray, ids: jnp.ndarray,
+                         embed_size: int, vocab: int) -> jnp.ndarray:
+    """Target-only scores on packed storage: inputs (B, M, E), ids (B, M)
+    -> (B, M) = <inputs, emb[ids]> + bias[ids], plain lookups forward,
+    dedup-folded backward."""
+    from map_tpu.ops.packed_table import packed_lookup
+
+    rows = packed_lookup(emb_packed, ids, embed_size)
+    b = packed_lookup(bias_packed, ids, 1)[..., 0]
+    return jnp.einsum("bme,bme->bm", inputs, rows) + b
+
+
+def _dst_fwd(emb_packed, bias_packed, inputs, ids, embed_size, vocab):
+    from map_tpu.ops.packed_table import packed_lookup
+
+    rows = packed_lookup(emb_packed, ids, embed_size)
+    b = packed_lookup(bias_packed, ids, 1)[..., 0]
+    out = jnp.einsum("bme,bme->bm", inputs, rows) + b
+    return out, (ids, inputs, rows, emb_packed.shape, bias_packed.shape)
+
+
+def _dst_bwd(embed_size, vocab, res, g):
+    ids, inputs, rows, emb_shape, bias_shape = res
+    e = embed_size
+    flat = ids.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    gflat = g.reshape(-1).astype(jnp.float32)
+    d_h = g[..., None] * rows                           # (B, M, E)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    # ONE stable sort carries position AND cotangent with the ids
+    sids, order, d_score_sorted = jax.lax.sort(
+        (flat, iota, gflat), num_keys=1)
+    first = jnp.concatenate([jnp.ones(1, jnp.bool_), sids[1:] != sids[:-1]])
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    num_unique = seg[-1] + 1
+    key = jnp.where(first, seg, jnp.int32(n))
+    _, start_pos = jax.lax.sort_key_val(key, iota)
+    j = jnp.arange(n, dtype=jnp.int32)
+    valid = j < num_unique
+    next_start = jnp.where(j + 1 < num_unique,
+                           jnp.roll(start_pos, -1), jnp.int32(n))
+    end_pos = jnp.clip(next_start - 1, 0, n - 1)
+    uids_c = jnp.where(valid, jnp.take(sids, jnp.minimum(start_pos, n - 1)),
+                       jnp.int32(n))
+    h2 = inputs.reshape(-1, inputs.shape[-1]).astype(jnp.float32)
+    h_sorted = jnp.take(h2, order, axis=0)              # small-source take
+    gr_s = h_sorted * d_score_sorted[:, None]
+    gb_s = d_score_sorted[:, None]
+    res2 = (flat, emb_shape, bias_shape, sids, order, uids_c, start_pos,
+            end_pos, valid, num_unique)
+    d_emb, d_bias = _dgp_scatter_sorted(e, vocab, res2, gr_s, gb_s)
+    return d_emb, d_bias, d_h, None
+
+
+decoder_score_target.defvjp(_dst_fwd, _dst_bwd)

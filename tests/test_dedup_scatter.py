@@ -97,3 +97,45 @@ def test_decoder_gather_pallas_scatter_mode():
                                rtol=3e-4, atol=3e-4)
     np.testing.assert_allclose(np.asarray(gd[1]), np.asarray(go[1]),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_decoder_score_target_matches_score_fused():
+    """dedup_bwd (plain forward, backward-only dedup) must match the
+    score-fused path bitwise-to-ulp: same folds, same scatter, only op
+    scheduling moves."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from map_tpu.ops import dedup_scatter as ds
+    from map_tpu.ops.packed_table import pack_table
+
+    rng = np.random.default_rng(4)
+    v, e, b, m = 5000, 32, 64, 7
+    emb = jnp.asarray(pack_table(
+        jnp.asarray(rng.standard_normal((v, e)), jnp.float32), e))
+    bias = jnp.asarray(pack_table(
+        jnp.asarray(rng.standard_normal((v, 1)), jnp.float32), 1))
+    inputs = jnp.asarray(rng.standard_normal((b, m, e)), jnp.float32)
+    ids = jnp.asarray(
+        np.minimum((rng.pareto(1.1, (b, m)) * 100).astype(np.int64), v - 1)
+        .astype(np.int32))
+    cot = jnp.asarray(rng.standard_normal((b, m)), jnp.float32)
+
+    def loss_fused(emb_, bias_, inp_):
+        s = ds.decoder_score_packed(emb_, bias_, inp_, ids[..., None],
+                                    e, v)[..., 0]
+        return jnp.sum(s * cot)
+
+    def loss_bwd(emb_, bias_, inp_):
+        return jnp.sum(ds.decoder_score_target(emb_, bias_, inp_, ids,
+                                               e, v) * cot)
+
+    fa = jax.jit(jax.value_and_grad(loss_fused, argnums=(0, 1, 2)))
+    fb = jax.jit(jax.value_and_grad(loss_bwd, argnums=(0, 1, 2)))
+    va, ga = fa(emb, bias, inputs)
+    vb, gb = fb(emb, bias, inputs)
+    np.testing.assert_allclose(float(va), float(vb), rtol=1e-6)
+    for x, y, name in zip(ga, gb, ("emb", "bias", "inputs")):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-5,
+                                   atol=1e-6, err_msg=name)
