@@ -126,7 +126,8 @@ def bench_mfp(per_field_shared: bool):
                       # corrupted ids contain <mask>=3 only (in-contract);
                       # field-blocked lookup stays on, as in production
                       field_blocked_lookup=True)
-    cfg.nce_grad = "dedup_bwd" if "--dedup_bwd" in sys.argv else "dedup"
+    if "--dedup" in sys.argv:  # A/B: pre-round-5 score-fused target path
+        cfg.nce_grad = "dedup"
     cfg.logprob_noise = np.log(probs).astype(np.float32)
     cfg.norm_term = float(np.log(v))
     args = TrainingArguments(

@@ -213,8 +213,12 @@ class ModelArguments:
     nce_loss_type: str = "nce"
     # decoder candidate-gather gradient: 'dedup' folds duplicate ids before
     # the table scatter (map_tpu.ops.dedup_scatter — ~3x faster per-position
-    # MFP on v5e with realistic Zipf unigrams); 'xla' = plain scatter
-    nce_grad: str = "dedup"
+    # MFP on v5e with realistic Zipf unigrams); 'dedup_bwd' additionally
+    # scores small TARGET streams with a plain forward + backward-only fold
+    # (two sorts instead of four; -0.2 ms on the pf-shared step, round-5
+    # A/B) while candidate sets keep the unique-once dedup forward;
+    # 'xla' = plain scatter
+    nce_grad: str = "dedup_bwd"
 
     # Auxiliary DNN tower (reference arguments.py:154-157)
     dnn_size: int = 1000
