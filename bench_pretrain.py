@@ -120,9 +120,10 @@ def bench_mfp(per_field_shared: bool):
     idx_low, idx_high, v = geometry()
     rng = np.random.default_rng(0)
     probs = unigram_probs(v, rng)
+    k_neg = 100 if (per_field_shared and "--k100" in sys.argv) else 25
     cfg = base_config(v, len(FIELD_SIZES), idx_low, idx_high,
                       pretrain=True, pt_type="MFP", proj_size=32,
-                      pt_neg_num=25, nce_loss_type="nce",
+                      pt_neg_num=k_neg, nce_loss_type="nce",
                       # corrupted ids contain <mask>=3 only (in-contract);
                       # field-blocked lookup stays on, as in production
                       field_blocked_lookup=True)
