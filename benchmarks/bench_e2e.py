@@ -75,23 +75,40 @@ def main(steps_per_call=8, rows=3_000_000, batch=4096):
                                and trainer._stream_v2)
     if batcher.emit_start_only:
         trainer._ensure_epoch_perm(0, batcher)
-    stream = trainer._train_stream(batcher.epoch(0))
-    # warmup: compile both multi and single-step programs
-    n, dev, _ = next(stream)
-    trainer._run_train_step(n, dev)
-    consumed = n
 
-    t0 = time.perf_counter()
-    steps = 0
-    for n, dev, _ in stream:
-        m = trainer._run_train_step(n, dev)
-        steps += n
-        if steps >= 512:
-            break
-    # barrier
-    float(np.asarray(jax.tree.leaves(m)[0]).ravel()[0])
-    dt = time.perf_counter() - t0
+    def run_epoch_stream(make_batches, warm):
+        stream = trainer._train_stream(make_batches())
+        if warm:  # compile both multi and single-step programs
+            n, dev, _ = next(stream)
+            trainer._run_train_step(n, dev)
+        t0 = time.perf_counter()
+        steps = 0
+        for n, dev, _ in stream:
+            m = trainer._run_train_step(n, dev)
+            steps += n
+            if steps >= 512:
+                break
+        float(np.asarray(jax.tree.leaves(m)[0]).ravel()[0])  # barrier
+        return steps, time.perf_counter() - t0
+
+    # in-window A/B, best of 3: per-batch producer vs the round-5
+    # group-vectorized host assembly (loader.epoch_stacked — what the
+    # Trainer production loop uses via _epochs_with_skip)
+    results = {}
+    for name, mk in (
+            ("per-batch", lambda: batcher.epoch(0)),
+            ("stacked", lambda: batcher.epoch_stacked(steps_per_call, 0))):
+        best = (0, 1e9)
+        for trial in range(3):
+            steps, dt = run_epoch_stream(mk, warm=(trial == 0
+                                                   and name == "per-batch"))
+            if steps / dt > best[0] / best[1]:
+                best = (steps, dt)
+        results[name] = best
+    steps, dt = results["stacked"]
     ex_s = steps * batch / dt
+    for name, (s_, d_) in results.items():
+        print(f"  {name}: {s_ * batch / d_:,.0f} examples/s", flush=True)
     print(f"steps_per_call={steps_per_call}: {steps} steps in {dt:.2f}s "
           f"-> {ex_s:,.0f} examples/s")
     return ex_s
