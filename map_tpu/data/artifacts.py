@@ -140,25 +140,43 @@ def materialize_split_memmaps(data_dir: str, name: str,
     try:
         with h5py.File(os.path.join(data_dir, f"{name}.h5"), "r") as f:
             fx, fy = f["feat_ids"], f["labels"]
-            nf = fx.shape[1]
-            for split, idx in splits.items():
+            total, nf = fx.shape
+            # inverse maps: h5 row -> (owning split, position within split).
+            # Splits are shuffled, so fancy-READING a split's rows degrades
+            # into millions of tiny h5 hyperslabs; instead stream the h5
+            # SEQUENTIALLY and scatter-write into the split memmaps — the
+            # page cache absorbs the scattered writes (total dirty bytes =
+            # dataset size).
+            split_names = list(splits)
+            split_of = np.full(total, -1, np.int8)
+            pos_of = np.empty(total, np.int64)
+            mms = {}
+            for si, split in enumerate(split_names):
+                idx = np.asarray(splits[split], np.int64)
+                split_of[idx] = si
+                pos_of[idx] = np.arange(len(idx))
                 xp, yp = _mmap_paths(data_dir, name, split)
-                idx = np.asarray(idx, np.int64)
-                n = len(idx)
-                xm = np.memmap(xp + ".tmp", np.int32, "w+", shape=(n, nf))
-                ym = np.memmap(yp + ".tmp", np.float32, "w+", shape=(n,))
-                for i in range(0, n, chunk_rows):
-                    ci = idx[i:i + chunk_rows]
-                    # h5py fancy selection requires ascending indices: read
-                    # sorted, then invert the permutation (chunk-local RAM)
-                    order = np.argsort(ci, kind="stable")
-                    inv = np.empty_like(order)
-                    inv[order] = np.arange(len(order))
-                    xm[i:i + chunk_rows] = fx[ci[order]][inv]
-                    ym[i:i + chunk_rows] = fy[ci[order]][inv]
+                mms[si] = (
+                    np.memmap(xp + ".tmp", np.int32, "w+",
+                              shape=(len(idx), nf)),
+                    np.memmap(yp + ".tmp", np.float32, "w+",
+                              shape=(len(idx),)))
+            for i in range(0, total, chunk_rows):
+                cx = fx[i:i + chunk_rows]
+                cy = fy[i:i + chunk_rows]
+                so = split_of[i:i + chunk_rows]
+                po = pos_of[i:i + chunk_rows]
+                for si in mms:
+                    m = so == si
+                    xm, ym = mms[si]
+                    xm[po[m]] = cx[m]
+                    ym[po[m]] = cy[m]
+            for si, split in enumerate(split_names):
+                xm, ym = mms[si]
                 xm.flush()
                 ym.flush()
                 del xm, ym
+                xp, yp = _mmap_paths(data_dir, name, split)
                 os.replace(xp + ".tmp", xp)
                 os.replace(yp + ".tmp", yp)
         with open(done, "w") as f:
