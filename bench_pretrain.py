@@ -129,6 +129,10 @@ def bench_mfp(per_field_shared: bool):
                       field_blocked_lookup=True)
     if "--dedup" in sys.argv:  # A/B: pre-round-5 score-fused target path
         cfg.nce_grad = "dedup"
+    import os as _os
+
+    if not _os.environ.get("MAP_TPU_HYBRID_MODE"):
+        cfg.hybrid_mode = "matmul"  # production MFP default (build_config)
     cfg.logprob_noise = np.log(probs).astype(np.float32)
     cfg.norm_term = float(np.log(v))
     args = TrainingArguments(

@@ -110,7 +110,8 @@ def pf_loss_fns(env):
         k_mask, k_noise, k_drop = jax.random.split(rng, 3)
         if corrupt:
             corrupted, labels, masked_index = corruption.mfp_corrupt(
-                k_mask, batch["input_ids"], mask_num, args.sampling_method)
+                k_mask, batch["input_ids"], mask_num, args.sampling_method,
+                input_size=int(cfg.input_size))
         else:
             corrupted = batch["corrupted"]
             labels = batch["mfp_labels"]

@@ -345,5 +345,15 @@ def build_config(model_args: ModelArguments, training_args: TrainingArguments,
         and getattr(dataset, "field_blocked_ok", True)
         and not (training_args.pretrain and training_args.pt_type == "RFD"
                  and training_args.RFD_replace.startswith("Whole")))
-    d["hybrid_mode"] = getattr(training_args, "hybrid_mode", "")
+    hm = getattr(training_args, "hybrid_mode", "")
+    if (not hm and training_args.pretrain and training_args.pt_type == "MFP"
+            and d["field_blocked_lookup"]):
+        # Round-5 profile finding: in the MFP step the 98k-row corrupted-id
+        # flat scatter is pure per-row pricing (1.36 ms; fwd_split proved
+        # dup serialization is NOT the cost), and the matmul backward
+        # (per-field one-hot MXU for small fields, scatter only the big
+        # fields) measured 9.20 -> 8.80 ms/step. The supervised step keeps
+        # 'fwd' (matmul measured 0.08 ms SLOWER there, round 3).
+        hm = "matmul"
+    d["hybrid_mode"] = hm
     return Config.from_dict(d)

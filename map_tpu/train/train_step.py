@@ -305,7 +305,8 @@ def make_mfp_steps(model, config, args, tx, base_rng,
     def _corrupt_and_sample(rng, batch):
         k_mask, k_noise = jax.random.split(rng)
         corrupted, labels, masked_index = corruption.mfp_corrupt(
-            k_mask, batch["input_ids"], mask_num, args.sampling_method)
+            k_mask, batch["input_ids"], mask_num, args.sampling_method,
+            input_size=int(config.input_size))
         b = corrupted.shape[0]
         if per_field is not None:
             noise, noise_logq = per_field_alias_draw_logq(
@@ -374,7 +375,8 @@ def make_mfp_steps(model, config, args, tx, base_rng,
             return _pf_shared_forward(state, params, batch, rng, train)
         k_mask, k_noise, k_drop = jax.random.split(rng, 3)
         corrupted, labels, masked_index = corruption.mfp_corrupt(
-            k_mask, batch["input_ids"], mask_num, args.sampling_method)
+            k_mask, batch["input_ids"], mask_num, args.sampling_method,
+            input_size=int(config.input_size))
         noise = alias_draw(k_noise, alias_prob, alias_alias, (k,))
         variables = {"params": params}
         if state.batch_stats:
@@ -409,7 +411,8 @@ def make_mfp_steps(model, config, args, tx, base_rng,
         score with the dense all-fields matmul + one-hot field selection."""
         k_mask, k_noise, k_drop = jax.random.split(rng, 3)
         corrupted, labels, masked_index = corruption.mfp_corrupt(
-            k_mask, batch["input_ids"], mask_num, args.sampling_method)
+            k_mask, batch["input_ids"], mask_num, args.sampling_method,
+            input_size=int(config.input_size))
         num_fields = int(config.num_fields)
         all_fields = jnp.arange(num_fields, dtype=jnp.int32)
         noise_f, noise_logq_f = per_field_alias_draw_logq(
@@ -463,7 +466,8 @@ def make_mfp_steps(model, config, args, tx, base_rng,
         if loss_type == "full":
             k_mask, _ = jax.random.split(k_corrupt)
             corrupted, labels, masked_index = corruption.mfp_corrupt(
-                k_mask, batch["input_ids"], mask_num, args.sampling_method)
+                k_mask, batch["input_ids"], mask_num, args.sampling_method,
+                input_size=int(config.input_size))
 
             def loss_fn(params):
                 loss, acc_count, new_bs = _full_forward(
@@ -504,7 +508,8 @@ def make_mfp_steps(model, config, args, tx, base_rng,
             return {"loss": loss, "count": count, "acc_count": acc_count}
         if loss_type == "full":
             corrupted, labels, masked_index = corruption.mfp_corrupt(
-                rng, batch["input_ids"], mask_num, args.sampling_method)
+                rng, batch["input_ids"], mask_num, args.sampling_method,
+                input_size=int(config.input_size))
             loss, acc_count, _ = _full_forward(
                 state, state.params, corrupted, masked_index, labels,
                 batch["weight"], rng, False)
