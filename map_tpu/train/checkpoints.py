@@ -28,11 +28,14 @@ def model_checkpoint_path(model_dir: str, step: int) -> str:
 def save_model(variables: Dict[str, Any], model_dir: str, step: int) -> str:
     os.makedirs(model_dir, exist_ok=True)
     path = model_checkpoint_path(model_dir, step)
-    # Pull to host before serializing.
+    # Pull to host before serializing (np.asarray on a jax.Array is the D2H
+    # fetch — under the trainer's async writer this runs on a worker thread).
     host_vars = serialization.to_state_dict(variables)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(
             _tree_map_np(host_vars)))
+    os.replace(tmp, path)  # atomic: a crash never leaves a torn checkpoint
     return path
 
 

@@ -55,6 +55,15 @@ class Trainer:
         self._multi_eval = None
         self._eval_has_rng = False
         self._profiler_active = False
+        # Background checkpoint writer (async_writer.py): overlaps the save's
+        # D2H fetch + msgpack write with training. Engaged single-process
+        # only (multi-host saves need every process in the allgather, which
+        # must stay on the main thread with the step collectives).
+        from map_tpu.train.async_writer import AsyncCheckpointWriter
+
+        self._ckpt_writer = AsyncCheckpointWriter()
+        self._async_ckpt = (bool(getattr(training_args, "async_checkpoint", True))
+                            and jax.process_count() == 1)
         streaming = bool(getattr(training_args, "streaming_auc", False))
         if (not streaming and jax.process_count() > 1
                 and not getattr(training_args, "exact_eval_allgather", False)):
@@ -534,6 +543,7 @@ class Trainer:
     def _maybe_resume(self) -> None:
         if not getattr(self.args, "resume", False):
             return
+        self._ckpt_writer.wait()  # a pending async write must land first
         if not checkpoints.has_resume_state(self.args.output_dir):
             return
         self.state, meta = checkpoints.load_train_state(
@@ -570,16 +580,26 @@ class Trainer:
         if prev_step is None:
             prev_step = self.global_step - 1
         if self._crossed(prev_step, self.args.save_steps):
+            meta = {"global_step": self.global_step,
+                    "best_eval_auc": self.best_eval_auc,
+                    "best_eval_step": self.best_eval_step,
+                    "patience": self._patience,
+                    # copy: the live list mutates while the writer runs
+                    "eval_metrics": [list(m) for m in self.eval_metrics]}
+            if self._async_ckpt:
+                from map_tpu.train.async_writer import snapshot_device_tree
+
+                snap = snapshot_device_tree(self.state)
+                self._ckpt_writer.submit(
+                    lambda: checkpoints.save_train_state(
+                        self.args.output_dir, snap, meta),
+                    label=f"resume-{self.global_step}")
+                return
             host_state = self._host_variables(self.state)
             if jax.process_index() != 0:
                 return
             checkpoints.save_train_state(
-                self.args.output_dir, host_state,
-                {"global_step": self.global_step,
-                 "best_eval_auc": self.best_eval_auc,
-                 "best_eval_step": self.best_eval_step,
-                 "patience": self._patience,
-                 "eval_metrics": self.eval_metrics})
+                self.args.output_dir, host_state, meta)
 
     def _ensure_epoch_perm(self, epoch: int, batcher) -> None:
         """Stream v2: upload this epoch's (padded) shuffled order to HBM —
@@ -637,6 +657,7 @@ class Trainer:
 
     def load_for_finetune(self, model_path: str) -> None:
         """Shape-matched partial restore (models.py:109-112)."""
+        self._ckpt_writer.wait()
         target = checkpoints.load_model_file(model_path)
         host_vars = jax.device_get(self._variables())
         merged, loaded, skipped = checkpoints.partial_restore(host_vars, target)
@@ -719,6 +740,7 @@ class Trainer:
             self.eval()
             if self._stop_training:
                 break
+        self._ckpt_writer.wait()  # run completion implies durable checkpoints
 
         with pd.option_context("display.max_rows", None, "display.max_columns", None):
             logger.info(str(pd.DataFrame(self.eval_metrics, columns=["auc", "log_loss"])))
@@ -884,6 +906,7 @@ class Trainer:
                     start_time = time.time()
             self.MFP_pretrain_eval()
         self.save_model(self.args.output_dir)
+        self._ckpt_writer.wait()  # run completion implies durable checkpoints
 
         with pd.option_context("display.max_rows", None, "display.max_columns", None):
             logger.info(str(pd.DataFrame(self.eval_metrics, columns=["mfp_loss", "mfp_acc"])))
@@ -945,6 +968,7 @@ class Trainer:
                     start_time = time.time()
             self.RFD_pretrain_eval()
         self.save_model(self.args.output_dir)
+        self._ckpt_writer.wait()  # run completion implies durable checkpoints
 
         with pd.option_context("display.max_rows", None, "display.max_columns", None):
             logger.info(str(pd.DataFrame(self.eval_metrics, columns=["rfd_loss", "rfd_acc"])))
@@ -976,16 +1000,33 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def save_model(self, model_dir: str) -> str:
+        step = self.global_step
+        limit = getattr(self.args, "save_total_limit", None)
+        if self._async_ckpt:
+            # Donation-safe on-device snapshot (HBM copy, ~ms); the worker
+            # thread then owns the D2H fetch + serialize + write. Identical
+            # bytes to the sync path — JAX arrays are immutable.
+            from map_tpu.train.async_writer import snapshot_device_tree
+
+            snap = snapshot_device_tree(self._variables())
+
+            def job():
+                checkpoints.save_model(snap, model_dir, step)
+                if limit:
+                    checkpoints.prune_checkpoints(model_dir, limit)
+
+            self._ckpt_writer.submit(job, label=f"model-{step}")
+            return checkpoints.model_checkpoint_path(model_dir, step)
         host_vars = self._host_variables(self._variables())
         if jax.process_index() != 0:  # every host gathers, process 0 writes
-            return checkpoints.model_checkpoint_path(model_dir, self.global_step)
-        path = checkpoints.save_model(host_vars, model_dir, self.global_step)
-        limit = getattr(self.args, "save_total_limit", None)
+            return checkpoints.model_checkpoint_path(model_dir, step)
+        path = checkpoints.save_model(host_vars, model_dir, step)
         if limit:
             checkpoints.prune_checkpoints(model_dir, limit)
         return path
 
     def load_model(self, load_step: int, model_dir: str) -> None:
+        self._ckpt_writer.wait()  # the step being read may still be in flight
         restored = checkpoints.load_model(model_dir, load_step)
         self.state = self.state.replace(
             params=restored["params"],
