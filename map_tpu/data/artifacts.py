@@ -108,6 +108,16 @@ def h5_dims(data_dir: str, name: str) -> Tuple[int, int]:
         return tuple(f["feat_ids"].shape)
 
 
+def h5_matrix_info(data_dir: str, name: str) -> Tuple[int, int, int]:
+    """(rows, fields, stored itemsize) from the h5 header only. The stored
+    dtype matters to the in-RAM peak model: an int64 h5 (numpy's default in
+    the preprocessing writers) transiently holds 8 bytes/element alongside
+    the int32 working copy."""
+    with h5py.File(os.path.join(data_dir, f"{name}.h5"), "r") as f:
+        fx = f["feat_ids"]
+        return fx.shape[0], fx.shape[1], int(fx.dtype.itemsize)
+
+
 def _mmap_paths(data_dir: str, name: str, split: str):
     base = os.path.join(data_dir, f"{name}-{split}")
     return base + "-X.i32.mmap", base + "-Y.f32.mmap"

@@ -79,8 +79,15 @@ class CTRDataset:
         budget_mb = int(getattr(self.args, "host_data_budget_mb", 0) or 0)
         if budget_mb < 0:
             return False
-        rows, nf = artifacts.h5_dims(self.data_dir, self.dataset_name)
-        need = 2 * rows * nf * 4
+        rows, nf, itemsize = artifacts.h5_matrix_info(
+            self.data_dir, self.dataset_name)
+        # Peak in-RAM residency: the h5 load at its STORED dtype coexists
+        # with the int32 working copy (load_data's astype), and the per-split
+        # copies coexist with the full int32 matrix afterwards — so the peak
+        # is max(stored, splits=4) + 4 bytes per element (an int64 h5 peaks
+        # at 12 B/elem, not the 8 the old 2x-int32 model assumed; the
+        # Criteo-x4 proof's ~50 GB RSS was exactly this).
+        need = (max(itemsize, 4) + 4) * rows * nf
         if budget_mb == 0:
             try:
                 budget = int(os.sysconf("SC_PHYS_PAGES")

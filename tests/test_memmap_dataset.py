@@ -77,3 +77,20 @@ def test_memmap_files_are_reused(data_dir):
 def test_auto_budget_keeps_small_data_in_ram(data_dir):
     ds = CTRDataset(_args(data_dir, 0))  # auto: 3000 rows << 60% RAM
     assert not ds.memory_mapped
+
+
+def test_budget_model_uses_stored_itemsize(data_dir):
+    """The peak model is (max(stored_itemsize, 4) + 4) B/elem: an int64 h5
+    (the preprocessing writers' numpy default) peaks at 12 B/elem while it
+    coexists with the int32 working copy — the old 2x-int32 model (8 B/elem)
+    under-counted it by 50% (the Criteo-x4 proof's surprise RSS)."""
+    from map_tpu.data import artifacts
+
+    rows, nf, itemsize = artifacts.h5_matrix_info(data_dir, "synth")
+    assert (rows, nf) == artifacts.h5_dims(data_dir, "synth")
+    per_elem = max(itemsize, 4) + 4
+    need_mb = rows * nf * per_elem / (1 << 20)
+    # a budget just under the modeled peak flips to memmap...
+    assert CTRDataset(_args(data_dir, int(need_mb) )).memory_mapped
+    # ...and a budget just over it stays in RAM
+    assert not CTRDataset(_args(data_dir, int(need_mb) + 1)).memory_mapped
