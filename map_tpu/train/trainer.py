@@ -17,7 +17,10 @@ are deferred to window boundaries so device dispatch stays async.
 
 from __future__ import annotations
 
+import json
 import logging
+import math
+import os
 import time
 from typing import Dict, Optional
 
@@ -681,6 +684,31 @@ class Trainer:
         logger.info(f"  lr_sched = {self.args.lr_sched}")
         self.model.validate_model_config()
 
+    def _emit_metrics(self, kind: str, payload: Dict) -> None:
+        """Append one JSON line to {output_dir}/metrics.jsonl (process 0): a
+        machine-readable mirror of every window/eval/test log line. The
+        reference's only machine-readable output is the end-of-run pandas
+        table (code/trainer.py:160-161); this streams the same metrics live
+        for dashboards/automation. Non-finite floats become null (strict
+        JSON); multi-host records carry process_count so shard-local window
+        metrics are identifiable downstream."""
+        if jax.process_index() != 0:
+            return
+        rec = {"kind": kind, "step": self.global_step,
+               "time": round(time.time(), 3)}
+        if jax.process_count() > 1:
+            rec["process_count"] = jax.process_count()
+        for k, v in payload.items():
+            if isinstance(v, (np.floating, np.integer)):
+                v = v.item()
+            if isinstance(v, float) and not math.isfinite(v):
+                v = None
+            rec[k] = v
+        os.makedirs(self.args.output_dir, exist_ok=True)
+        with open(os.path.join(self.args.output_dir, "metrics.jsonl"),
+                  "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
     def _current_lr(self) -> float:
         return float(self._schedule(max(self.global_step - 1, 0)))
 
@@ -734,6 +762,7 @@ class Trainer:
                              f"{jax.process_count()} processes]"
                              if jax.process_count() > 1 else "")
                     logger.info(f"step = {self.global_step}, {_log}{shard}")
+                    self._emit_metrics("train_window", _log)
                     tr_loss_window, tr_labels, tr_probs, tr_weights = [], [], [], []
                     window_t0 = time.time()
 
@@ -859,6 +888,7 @@ class Trainer:
             "avg_probs": avg_probs,
         }
         logger.info(str(_log))
+        self._emit_metrics("test" if test_eval else "eval", _log)
         if not test_eval:
             if auc > self.best_eval_auc:
                 self.best_eval_auc = auc
@@ -902,6 +932,7 @@ class Trainer:
                     _log = {"window_loss": loss, "window_acc": acc,
                             "time_cost": time.time() - start_time}
                     logger.info(f"step = {self.global_step}, {_log}")
+                    self._emit_metrics("mfp_window", _log)
                     window = {"loss": [], "count": [], "acc_count": []}
                     start_time = time.time()
             self.MFP_pretrain_eval()
@@ -931,6 +962,7 @@ class Trainer:
         }
         self.eval_metrics.append([_log["eval_mfp_loss"], _log["eval_mfp_acc"]])
         logger.info(str(_log))
+        self._emit_metrics("mfp_eval", _log)
         return _log
 
     # ------------------------------------------------------------------
@@ -964,6 +996,7 @@ class Trainer:
                             "window_pos_ratio": float(np.mean(flat["pos_ratio"])),
                             "time_cost": time.time() - start_time}
                     logger.info(f"step = {self.global_step}, {_log}")
+                    self._emit_metrics("rfd_window", _log)
                     window = {"loss": [], "acc": [], "pos_ratio": []}
                     start_time = time.time()
             self.RFD_pretrain_eval()
@@ -993,6 +1026,7 @@ class Trainer:
         }
         self.eval_metrics.append([_log["eval_rfd_loss"], _log["eval_rfd_acc"]])
         logger.info(str(_log))
+        self._emit_metrics("rfd_eval", _log)
         return _log
 
     # ------------------------------------------------------------------
