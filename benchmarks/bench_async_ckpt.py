@@ -16,12 +16,15 @@ Prints one JSON line with sync/async wall seconds and the overlap win.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _arg(flag: str, default: int) -> int:
@@ -106,6 +109,12 @@ def main() -> None:
                     snap = snapshot_device_tree(variables(state))
                     writer.submit(
                         lambda s=snap, k=i: checkpoints.save_model(s, out, k))
+                elif mode == "write_offload":
+                    # fetch synchronously (no link contention), offload only
+                    # the msgpack serialization + disk write
+                    host = jax.device_get(variables(state))
+                    writer.submit(
+                        lambda h=host, k=i: checkpoints.save_model(h, out, k))
                 else:
                     checkpoints.save_model(
                         jax.device_get(variables(state)), out, i)
@@ -117,6 +126,7 @@ def main() -> None:
 
     sync_s, saves = run("sync")
     async_s, _ = run("async")
+    wo_s, _ = run("write_offload")
     # order-control: rerun sync to bound drift
     sync2_s, _ = run("sync")
     sync_best = min(sync_s, sync2_s)
@@ -124,11 +134,12 @@ def main() -> None:
         "metric": "async_ckpt_window_wall_s",
         "steps": n_steps, "saves": saves,
         "sync_s": round(sync_best, 2), "async_s": round(async_s, 2),
-        "win_s_per_save": round((sync_best - async_s) / saves, 3),
-        "speedup": round(sync_best / async_s, 3),
+        "write_offload_s": round(wo_s, 2),
+        "async_win_s_per_save": round((sync_best - async_s) / saves, 3),
+        "wo_win_s_per_save": round((sync_best - wo_s) / saves, 3),
     }))
-    print(f"sync trials = {sync_s:.2f}/{sync2_s:.2f} s, async = {async_s:.2f} s",
-          file=sys.stderr)
+    print(f"sync trials = {sync_s:.2f}/{sync2_s:.2f} s, async = {async_s:.2f} s"
+          f", write_offload = {wo_s:.2f} s", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -40,13 +40,20 @@ class TrainingArguments:
     logging_steps: int = 1000
     save_steps: int = 1000
     save_total_limit: Optional[int] = 20
-    # Background checkpoint writes (train/async_writer.py): the save's D2H
-    # fetch + msgpack write run on a worker thread over a donation-safe
-    # on-device snapshot, overlapping training (the Criteo-x4 proof measured
-    # ~110 s per blocking save window through the tunnel). Bit-identical
-    # files; single-process only (multi-host saves stay synchronous — the
-    # checkpoint allgather must not interleave with step collectives).
+    # Background checkpoint writes (train/async_writer.py): the msgpack
+    # serialization + disk write run on a worker thread while training
+    # continues; the device->host fetch stays on the main thread (measured:
+    # +0.16 s/save win on the tunneled chip, bench_async_ckpt.py). Files are
+    # byte-identical and every checkpoint read joins the writer first.
     async_checkpoint: bool = True
+    # Move the D2H fetch itself onto the worker thread too, over a
+    # donation-safe on-device snapshot. MEASURED LOSS through the axon
+    # tunnel (-1.26 s/save: the worker's fetch RPCs contend with step
+    # dispatch on the serialized link) — opt-in for deployments with
+    # locally-attached TPUs where D2H rides an independent DMA path.
+    # Single-process only (multi-host gathers must stay with the step
+    # collectives on the main thread).
+    async_checkpoint_fetch: bool = False
     seed: int = 42
 
     # Pretraining flags (reference arguments.py:41-48)

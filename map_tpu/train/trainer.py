@@ -58,15 +58,19 @@ class Trainer:
         self._multi_eval = None
         self._eval_has_rng = False
         self._profiler_active = False
-        # Background checkpoint writer (async_writer.py): overlaps the save's
-        # D2H fetch + msgpack write with training. Engaged single-process
-        # only (multi-host saves need every process in the allgather, which
-        # must stay on the main thread with the step collectives).
+        # Background checkpoint writer (async_writer.py): serialization +
+        # disk write run on a worker thread (measured +0.16 s/save,
+        # bench_async_ckpt.py). The D2H fetch joins them only under
+        # async_checkpoint_fetch (single-process; measured LOSS through the
+        # tunnel, a win only with locally-attached devices — config.py).
         from map_tpu.train.async_writer import AsyncCheckpointWriter
 
         self._ckpt_writer = AsyncCheckpointWriter()
-        self._async_ckpt = (bool(getattr(training_args, "async_checkpoint", True))
-                            and jax.process_count() == 1)
+        self._async_ckpt = bool(getattr(training_args, "async_checkpoint", True))
+        self._async_fetch = (
+            self._async_ckpt
+            and bool(getattr(training_args, "async_checkpoint_fetch", False))
+            and jax.process_count() == 1)
         streaming = bool(getattr(training_args, "streaming_auc", False))
         if (not streaming and jax.process_count() > 1
                 and not getattr(training_args, "exact_eval_allgather", False)):
@@ -589,7 +593,7 @@ class Trainer:
                     "patience": self._patience,
                     # copy: the live list mutates while the writer runs
                     "eval_metrics": [list(m) for m in self.eval_metrics]}
-            if self._async_ckpt:
+            if self._async_fetch:
                 from map_tpu.train.async_writer import snapshot_device_tree
 
                 snap = snapshot_device_tree(self.state)
@@ -600,6 +604,12 @@ class Trainer:
                 return
             host_state = self._host_variables(self.state)
             if jax.process_index() != 0:
+                return
+            if self._async_ckpt:
+                self._ckpt_writer.submit(
+                    lambda: checkpoints.save_train_state(
+                        self.args.output_dir, host_state, meta),
+                    label=f"resume-{self.global_step}")
                 return
             checkpoints.save_train_state(
                 self.args.output_dir, host_state, meta)
@@ -1036,7 +1046,8 @@ class Trainer:
     def save_model(self, model_dir: str) -> str:
         step = self.global_step
         limit = getattr(self.args, "save_total_limit", None)
-        if self._async_ckpt:
+        path = checkpoints.model_checkpoint_path(model_dir, step)
+        if self._async_fetch:
             # Donation-safe on-device snapshot (HBM copy, ~ms); the worker
             # thread then owns the D2H fetch + serialize + write. Identical
             # bytes to the sync path — JAX arrays are immutable.
@@ -1050,11 +1061,21 @@ class Trainer:
                     checkpoints.prune_checkpoints(model_dir, limit)
 
             self._ckpt_writer.submit(job, label=f"model-{step}")
-            return checkpoints.model_checkpoint_path(model_dir, step)
+            return path
         host_vars = self._host_variables(self._variables())
         if jax.process_index() != 0:  # every host gathers, process 0 writes
-            return checkpoints.model_checkpoint_path(model_dir, step)
-        path = checkpoints.save_model(host_vars, model_dir, step)
+            return path
+        if self._async_ckpt:
+            # fetch done above (main thread — no link contention); offload
+            # the serialization + disk write
+            def job():
+                checkpoints.save_model(host_vars, model_dir, step)
+                if limit:
+                    checkpoints.prune_checkpoints(model_dir, limit)
+
+            self._ckpt_writer.submit(job, label=f"model-{step}")
+            return path
+        checkpoints.save_model(host_vars, model_dir, step)
         if limit:
             checkpoints.prune_checkpoints(model_dir, limit)
         return path

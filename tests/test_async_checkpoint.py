@@ -41,8 +41,9 @@ def _make_trainer(synth_dir, out_dir, **overrides):
 
 
 def test_async_sync_runs_identical(tmp_path, synth_dir):
-    """Full run with async saves == full run with sync saves: same params,
-    and the persisted checkpoint/resume files hold the same tensors."""
+    """Full run with async saves (default write-offload mode) == full run
+    with sync saves: same params, and the persisted checkpoint/resume files
+    hold the same tensors."""
     t_async, args_a = _make_trainer(synth_dir, tmp_path / "a",
                                     async_checkpoint=True, save_steps=1)
     t_async.train()
@@ -73,6 +74,18 @@ def test_async_sync_runs_identical(tmp_path, synth_dir):
     assert ma["global_step"] == ms["global_step"]
     for a, b in zip(jax.tree.leaves(ra), jax.tree.leaves(rs)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the opt-in full-async fetch mode (async_checkpoint_fetch: worker-thread
+    # D2H over a donation-safe snapshot) writes the same bytes too
+    t_fetch, args_f = _make_trainer(synth_dir, tmp_path / "f",
+                                    async_checkpoint=True,
+                                    async_checkpoint_fetch=True, save_steps=1)
+    t_fetch.train()
+    assert t_fetch.best_eval_step == step
+    pf = checkpoints.model_checkpoint_path(args_f.output_dir, step)
+    with open(pf, "rb") as f:
+        bf = f.read()
+    assert bf == bs
 
 
 def test_snapshot_survives_donation(synth_dir, tmp_path):
