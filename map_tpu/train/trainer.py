@@ -550,7 +550,7 @@ class Trainer:
     def _maybe_resume(self) -> None:
         if not getattr(self.args, "resume", False):
             return
-        self._ckpt_writer.wait()  # a pending async write must land first
+        self._join_ckpt_writer()  # a pending async write must land first
         if not checkpoints.has_resume_state(self.args.output_dir):
             return
         self.state, meta = checkpoints.load_train_state(
@@ -670,7 +670,7 @@ class Trainer:
 
     def load_for_finetune(self, model_path: str) -> None:
         """Shape-matched partial restore (models.py:109-112)."""
-        self._ckpt_writer.wait()
+        self._join_ckpt_writer()
         target = checkpoints.load_model_file(model_path)
         host_vars = jax.device_get(self._variables())
         merged, loaded, skipped = checkpoints.partial_restore(host_vars, target)
@@ -693,6 +693,17 @@ class Trainer:
         logger.info(f"  weight_decay = {self.args.weight_decay}")
         logger.info(f"  lr_sched = {self.args.lr_sched}")
         self.model.validate_model_config()
+
+    def _join_ckpt_writer(self) -> None:
+        """Join the local background checkpoint writer, then barrier across
+        processes: under the write-offload default only process 0 holds the
+        in-flight write, so a non-zero process reaching a checkpoint READ
+        (load_model / finetune restore / resume) must not race past it."""
+        self._ckpt_writer.wait()
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("map_tpu_ckpt_writer_join")
 
     def _emit_metrics(self, kind: str, payload: Dict) -> None:
         """Append one JSON line to {output_dir}/metrics.jsonl (process 0): a
@@ -779,7 +790,7 @@ class Trainer:
             self.eval()
             if self._stop_training:
                 break
-        self._ckpt_writer.wait()  # run completion implies durable checkpoints
+        self._join_ckpt_writer()  # run completion implies durable checkpoints
 
         with pd.option_context("display.max_rows", None, "display.max_columns", None):
             logger.info(str(pd.DataFrame(self.eval_metrics, columns=["auc", "log_loss"])))
@@ -947,7 +958,7 @@ class Trainer:
                     start_time = time.time()
             self.MFP_pretrain_eval()
         self.save_model(self.args.output_dir)
-        self._ckpt_writer.wait()  # run completion implies durable checkpoints
+        self._join_ckpt_writer()  # run completion implies durable checkpoints
 
         with pd.option_context("display.max_rows", None, "display.max_columns", None):
             logger.info(str(pd.DataFrame(self.eval_metrics, columns=["mfp_loss", "mfp_acc"])))
@@ -1011,7 +1022,7 @@ class Trainer:
                     start_time = time.time()
             self.RFD_pretrain_eval()
         self.save_model(self.args.output_dir)
-        self._ckpt_writer.wait()  # run completion implies durable checkpoints
+        self._join_ckpt_writer()  # run completion implies durable checkpoints
 
         with pd.option_context("display.max_rows", None, "display.max_columns", None):
             logger.info(str(pd.DataFrame(self.eval_metrics, columns=["rfd_loss", "rfd_acc"])))
@@ -1081,7 +1092,7 @@ class Trainer:
         return path
 
     def load_model(self, load_step: int, model_dir: str) -> None:
-        self._ckpt_writer.wait()  # the step being read may still be in flight
+        self._join_ckpt_writer()  # the step being read may still be in flight
         restored = checkpoints.load_model(model_dir, load_step)
         self.state = self.state.replace(
             params=restored["params"],
